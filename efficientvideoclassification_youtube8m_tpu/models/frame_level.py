@@ -1,0 +1,291 @@
+"""Frame-level models.
+
+Re-designs of `/root/reference/code_student_uniform/frame_level_models.py`
+for TPU. The flagship is `HierarchicalLstmModel`: the reference runs 20
+separate `dynamic_rnn` calls (one per 15-frame chunk) sharing one 2-layer
+LSTM, stacks the 20 final states, and runs a second 2-layer LSTM over
+them (frame_level_models.py:237-257).
+
+TPU-first mapping: the 20 chunks are *folded into the batch axis* —
+[B, 300, D] -> [B*20, 15, D] — so L1 is ONE 15-step scan whose per-step
+recurrent matmul has batch B*20 (big MXU tiles, and an embarrassingly
+parallel axis that sequence-parallel sharding can split across devices).
+L2 is a single 20-step scan over the stacked chunk states.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from efficientvideoclassification_youtube8m_tpu.models.base import (
+    dense,
+    dense_init,
+    get_model,
+    l2_loss,
+    register_model,
+)
+from efficientvideoclassification_youtube8m_tpu.ops.lstm import (
+    init_multi_lstm,
+    multi_lstm_scan,
+)
+
+
+@register_model("HierarchicalLstmModel")
+class HierarchicalLstmModel:
+    """Two-level hierarchical LSTM + a configurable video-level classifier.
+
+    `apply` covers both the reference's `create_model` (teacher: 300
+    frames, 20 chunks) and `create_model_inference` (student: 300//every_n
+    frames, `num_inputs_l1` chunks) — same math, different static shapes.
+    Returns {"state": [B, layers*2*cells], "predictions": [B, vocab], ...};
+    "state" is the distillation target (train.py:359).
+    """
+
+    @staticmethod
+    def init(
+        key: jax.Array,
+        input_size: int,
+        vocab_size: int,
+        lstm_cells: int = 1024,
+        lstm_layers: int = 2,
+        classifier: str = "MoeModel",
+        classifier_kwargs: Optional[dict] = None,
+        **_,
+    ) -> Dict[str, Any]:
+        k1, k2, k3 = jax.random.split(key, 3)
+        state_dim = lstm_layers * 2 * lstm_cells
+        cls = get_model(classifier)
+        return {
+            "rnn_l1": init_multi_lstm(k1, input_size, lstm_cells, lstm_layers),
+            "rnn_l2": init_multi_lstm(k2, state_dim, lstm_cells, lstm_layers),
+            "classifier": cls.init(
+                k3, state_dim, vocab_size, **(classifier_kwargs or {})
+            ),
+        }
+
+    @staticmethod
+    def apply(
+        params,
+        model_input: jax.Array,  # [B, T, D]
+        vocab_size: int,
+        num_frames: jax.Array,  # [B] (already rescaled for the student)
+        num_chunks: int = 20,
+        classifier: str = "MoeModel",
+        compute_dtype: Any = jnp.float32,
+        labels: Optional[jax.Array] = None,
+        dropout_keep_prob=1.0,
+        rng: Optional[jax.Array] = None,
+        **classifier_kwargs,
+    ) -> Dict[str, Any]:
+        B, T, D = model_input.shape
+        assert T % num_chunks == 0, (T, num_chunks)
+        chunk_len = T // num_chunks
+
+        # L1: fold chunks into the batch axis -> one shared-weight scan.
+        x_chunks = model_input.reshape(B * num_chunks, chunk_len, D)
+        chunk_starts = chunk_len * jnp.arange(num_chunks, dtype=jnp.int32)
+        seq_l1 = jnp.clip(
+            num_frames.astype(jnp.int32)[:, None] - chunk_starts[None, :],
+            0,
+            chunk_len,
+        ).reshape(B * num_chunks)
+        l1_state = multi_lstm_scan(
+            params["rnn_l1"], x_chunks, seq_l1, compute_dtype=compute_dtype
+        )  # [B*num_chunks, layers*2*cells]
+
+        # L2: scan over the per-chunk final states.
+        l2_input = l1_state.reshape(B, num_chunks, -1)
+        seq_l2 = jnp.ceil(
+            num_frames.astype(jnp.float32) / float(chunk_len)
+        ).astype(jnp.int32)
+        state = multi_lstm_scan(
+            params["rnn_l2"], l2_input, seq_l2, compute_dtype=compute_dtype
+        )  # [B, layers*2*cells]
+
+        cls = get_model(classifier)
+        result = cls.apply(
+            params["classifier"],
+            state,
+            vocab_size=vocab_size,
+            labels=labels,
+            dropout_keep_prob=dropout_keep_prob,
+            rng=rng,
+            **classifier_kwargs,
+        )
+        result["state"] = state
+        return result
+
+
+@register_model("FrameLevelLogisticModel")
+class FrameLevelLogisticModel:
+    """Mean-pool over true frames -> sigmoid FC
+    (frame_level_models.py:50-83)."""
+
+    @staticmethod
+    def init(key, input_size: int, vocab_size: int, **_):
+        return {"fc": dense_init(key, input_size, vocab_size)}
+
+    @staticmethod
+    def apply(params, model_input, vocab_size: int, num_frames=None,
+              l2_penalty: float = 1e-8, **_) -> Dict[str, Any]:
+        denom = num_frames.astype(jnp.float32)[:, None]
+        avg_pooled = jnp.sum(model_input, axis=1) / denom
+        out = jax.nn.sigmoid(dense(params["fc"], avg_pooled))
+        reg = l2_penalty * l2_loss(params["fc"]["w"])
+        return {"predictions": out, "regularization_loss": reg}
+
+
+def sample_random_frames(model_input, num_frames, num_samples: int, rng):
+    """Uniform random frame indices below num_frames
+    (model_utils.py:39-58)."""
+    B = model_input.shape[0]
+    u = jax.random.uniform(rng, (B, num_samples))
+    frame_index = (u * num_frames.astype(jnp.float32)[:, None]).astype(jnp.int32)
+    return jnp.take_along_axis(model_input, frame_index[:, :, None], axis=1)
+
+
+def sample_random_sequence(model_input, num_frames, num_samples: int, rng):
+    """Random contiguous window of num_samples frames
+    (model_utils.py:11-36)."""
+    B = model_input.shape[0]
+    offsets = jnp.arange(num_samples, dtype=jnp.int32)[None, :]
+    max_start = jnp.maximum(num_frames.astype(jnp.int32) - num_samples, 0)
+    u = jax.random.uniform(rng, (B, 1))
+    start = (u * (max_start + 1).astype(jnp.float32)[:, None]).astype(jnp.int32)
+    frame_index = jnp.minimum(
+        start + offsets, num_frames.astype(jnp.int32)[:, None] - 1
+    )
+    return jnp.take_along_axis(model_input, frame_index[:, :, None], axis=1)
+
+
+def frame_pooling(frames, method: str):
+    """average/max/none pooling over the frame axis (model_utils.py:60-83)."""
+    if method == "average":
+        return jnp.mean(frames, axis=1)
+    if method == "max":
+        return jnp.max(frames, axis=1)
+    if method == "none":
+        return frames.reshape(-1, frames.shape[2])
+    raise ValueError(f"Unrecognized pooling method: {method}")
+
+
+def _bn_init(dim: int):
+    return {
+        "scale": jnp.ones((dim,), jnp.float32),
+        "offset": jnp.zeros((dim,), jnp.float32),
+        "moving_mean": jnp.zeros((dim,), jnp.float32),
+        "moving_var": jnp.ones((dim,), jnp.float32),
+    }
+
+
+def _bn_apply(p, x, is_training: bool, momentum: float = 0.999, eps: float = 1e-3):
+    """slim.batch_norm semantics: batch stats in training (moving averages
+    updated with `momentum` decay), moving stats at inference. Returns
+    (normalized, updated_bn_params)."""
+    if is_training:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        new_p = dict(
+            p,
+            moving_mean=momentum * p["moving_mean"] + (1 - momentum) * mean,
+            moving_var=momentum * p["moving_var"] + (1 - momentum) * var,
+        )
+    else:
+        mean, var = p["moving_mean"], p["moving_var"]
+        new_p = p
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv * p["scale"] + p["offset"], new_p
+
+
+@register_model("DbofModel")
+class DbofModel:
+    """Deep Bag-of-Frames (frame_level_models.py:85-195): sample frames,
+    BN -> cluster FC -> relu6 -> frame pooling -> hidden FC -> relu6 ->
+    video-level classifier. BN moving averages ride along in the params
+    pytree; `apply` returns the updated copy under "updated_params"."""
+
+    @staticmethod
+    def init(key, input_size: int, vocab_size: int, cluster_size: int = 8192,
+             hidden_size: int = 1024, classifier: str = "MoeModel",
+             classifier_kwargs: Optional[dict] = None, **_):
+        k1, k2, k3 = jax.random.split(key, 3)
+        cls = get_model(classifier)
+        return {
+            "input_bn": _bn_init(input_size),
+            "cluster": {
+                "w": (1.0 / math.sqrt(input_size))
+                * jax.random.normal(k1, (input_size, cluster_size))
+            },
+            "cluster_bn": _bn_init(cluster_size),
+            "hidden1": {
+                "w": (1.0 / math.sqrt(cluster_size))
+                * jax.random.normal(k2, (cluster_size, hidden_size))
+            },
+            "hidden1_bn": _bn_init(hidden_size),
+            "classifier": cls.init(
+                k3, hidden_size, vocab_size, **(classifier_kwargs or {})
+            ),
+        }
+
+    @staticmethod
+    def apply(params, model_input, vocab_size: int, num_frames=None,
+              iterations: int = 30, sample_random: bool = True,
+              pooling_method: str = "max", classifier: str = "MoeModel",
+              is_training: bool = True, rng: Optional[jax.Array] = None,
+              **classifier_kwargs) -> Dict[str, Any]:
+        if rng is not None:
+            sampler = sample_random_frames if sample_random else sample_random_sequence
+            model_input = sampler(model_input, num_frames, iterations, rng)
+        max_frames = model_input.shape[1]
+        feature_size = model_input.shape[2]
+        x = model_input.reshape(-1, feature_size)
+
+        updated = dict(params)
+        x, updated["input_bn"] = _bn_apply(params["input_bn"], x, is_training)
+        act = dense(params["cluster"], x)
+        act, updated["cluster_bn"] = _bn_apply(params["cluster_bn"], act, is_training)
+        act = jnp.clip(act, 0.0, 6.0)  # relu6
+        act = act.reshape(-1, max_frames, act.shape[-1])
+        act = frame_pooling(act, pooling_method)
+        act = dense(params["hidden1"], act)
+        act, updated["hidden1_bn"] = _bn_apply(params["hidden1_bn"], act, is_training)
+        act = jnp.clip(act, 0.0, 6.0)
+
+        cls = get_model(classifier)
+        result = cls.apply(
+            params["classifier"], act, vocab_size=vocab_size, **classifier_kwargs
+        )
+        result["updated_params"] = updated
+        return result
+
+
+@register_model("NetVLADModel")
+class NetVLADModel:
+    """Declared-but-unimplemented in the reference ("Upcoming",
+    frame_level_models.py:341-347); kept as an explicit stub for parity."""
+
+    @staticmethod
+    def init(key, input_size: int, vocab_size: int, **_):
+        raise NotImplementedError("NetVLADModel is a stub in the reference too")
+
+    @staticmethod
+    def apply(params, model_input, vocab_size: int, **_):
+        raise NotImplementedError("NetVLADModel is a stub in the reference too")
+
+
+@register_model("NeXtVLADModel")
+class NeXtVLADModel:
+    """Declared-but-unimplemented in the reference
+    (frame_level_models.py:349-355)."""
+
+    @staticmethod
+    def init(key, input_size: int, vocab_size: int, **_):
+        raise NotImplementedError("NeXtVLADModel is a stub in the reference too")
+
+    @staticmethod
+    def apply(params, model_input, vocab_size: int, **_):
+        raise NotImplementedError("NeXtVLADModel is a stub in the reference too")

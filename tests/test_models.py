@@ -1,0 +1,180 @@
+"""Model zoo tests: shapes, semantics, and reference-documented behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientvideoclassification_youtube8m_tpu.models import get_model, MODEL_REGISTRY
+from efficientvideoclassification_youtube8m_tpu.models.frame_level import (
+    frame_pooling,
+    sample_random_frames,
+)
+
+VOCAB = 50  # scaled-down vocab for speed; 4716 in production
+
+
+def test_registry_has_all_reference_models():
+    expected = {
+        # frame-level (frame_level_models.py)
+        "FrameLevelLogisticModel", "DbofModel", "HierarchicalLstmModel",
+        "NetVLADModel", "NeXtVLADModel",
+        # video-level (video_level_models.py)
+        "SingleHiddenLayerModel", "SingleHiddenLayerModelDropout",
+        "DoubleHiddenLayerModelDropout", "SplitSingleHiddenLayerModel",
+        "ScaledSingleHiddenLayerModel", "SingleHiddenLayerResidualModel",
+        "LinearRegressionEnsemble", "LinearRegressionWeightedMeanEnsemble",
+        "LinearRegressionWeightedMeanEnsembleDifferenceLoss",
+        "IndependentClassEnsemble", "SingleHiddenLayerEnsemble",
+        "LogisticModel", "MoeModel",
+    }
+    assert expected <= set(MODEL_REGISTRY)
+
+
+def test_moe_model_semantics():
+    """MoE = per-(batch,class) softmax over m+1 gates; dummy expert
+    contributes only its gate mass (video_level_models.py:437-445)."""
+    cls = get_model("MoeModel")
+    params = cls.init(jax.random.PRNGKey(0), 16, VOCAB, num_mixtures=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 16)), jnp.float32)
+    out = cls.apply(params, x, vocab_size=VOCAB, num_mixtures=2)
+    preds = np.asarray(out["predictions"])
+    assert preds.shape == (3, VOCAB)
+    assert np.all(preds >= 0) and np.all(preds <= 1)
+
+    # manual recompute
+    g = np.asarray(x @ params["gates"]["w"]).reshape(-1, 3)
+    e = np.asarray(x @ params["experts"]["w"] + params["experts"]["b"]).reshape(-1, 2)
+    gs = np.exp(g - g.max(-1, keepdims=True))
+    gs = gs / gs.sum(-1, keepdims=True)
+    expect = (gs[:, :2] * (1 / (1 + np.exp(-e)))).sum(-1).reshape(3, VOCAB)
+    np.testing.assert_allclose(preds, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_hierarchical_lstm_teacher_and_student_shapes():
+    cls = get_model("HierarchicalLstmModel")
+    cells, layers = 32, 2
+    params = cls.init(
+        jax.random.PRNGKey(0), input_size=24, vocab_size=VOCAB,
+        lstm_cells=cells, lstm_layers=layers,
+    )
+    B = 2
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(B, 300, 24)), jnp.float32)
+    nf = jnp.array([300, 37])
+    out = cls.apply(params, x, vocab_size=VOCAB, num_frames=nf, num_chunks=20)
+    assert out["state"].shape == (B, layers * 2 * cells)
+    assert out["predictions"].shape == (B, VOCAB)
+
+    # student: 30 frames, 5 chunks — same weights structure, fresh params
+    xs = x[:, ::10, :]
+    nf_s = (nf / 300 * 30).astype(jnp.int32)
+    out_s = cls.apply(params, xs, vocab_size=VOCAB, num_frames=nf_s, num_chunks=5)
+    assert out_s["state"].shape == (B, layers * 2 * cells)
+
+
+def test_hierarchical_chunk_masking_matches_bruteforce():
+    """A video with nf frames must produce the same state as the same video
+    zero-padded differently past nf (masking really freezes state)."""
+    cls = get_model("HierarchicalLstmModel")
+    params = cls.init(jax.random.PRNGKey(3), input_size=8, vocab_size=VOCAB,
+                      lstm_cells=8, lstm_layers=1)
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 40, 8)).astype(np.float32)
+    nf = jnp.array([23])
+    x2 = x.copy()
+    x2[0, 23:] = 99.0  # garbage past the true length
+    s1 = cls.apply(params, jnp.asarray(x), vocab_size=VOCAB, num_frames=nf,
+                   num_chunks=4)["state"]
+    s2 = cls.apply(params, jnp.asarray(x2), vocab_size=VOCAB, num_frames=nf,
+                   num_chunks=4)["state"]
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_split_single_hidden_layer_returns_model_loss():
+    cls = get_model("SplitSingleHiddenLayerModel")
+    params = cls.init(jax.random.PRNGKey(0), 32, 4716)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 32)), jnp.float32)
+    labels = jnp.zeros((2, 4716), jnp.int32).at[0, 5].set(1)
+    out = cls.apply(params, x, vocab_size=4716, labels=labels)
+    assert out["predictions"].shape == (2, 4716)
+    assert out["loss"].shape == ()
+
+
+def test_ensemble_heads():
+    K = 4
+    old = jnp.asarray(np.random.default_rng(4).uniform(size=(3, K, VOCAB)), jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(3, 16)), jnp.float32)
+    for name in ["LinearRegressionEnsemble", "LinearRegressionWeightedMeanEnsemble",
+                 "SingleHiddenLayerEnsemble"]:
+        cls = get_model(name)
+        params = cls.init(jax.random.PRNGKey(0), 16, K)
+        out = cls.apply(params, x, vocab_size=K, old_predictions=old)
+        assert out["predictions"].shape == (3, VOCAB), name
+
+    cls = get_model("IndependentClassEnsemble")
+    params = cls.init(jax.random.PRNGKey(0), 16, K, num_classes=VOCAB)
+    out = cls.apply(params, x, vocab_size=K, old_predictions=old)
+    assert out["predictions"].shape == (3, VOCAB)
+
+    cls = get_model("LinearRegressionWeightedMeanEnsembleDifferenceLoss")
+    params = cls.init(jax.random.PRNGKey(0), 16, K)
+    labels = jnp.zeros((3, VOCAB), jnp.float32)
+    out = cls.apply(params, x, vocab_size=K, old_predictions=old, labels=labels)
+    assert out["loss"].shape == (3, VOCAB)
+
+
+def test_residual_model_split():
+    cls = get_model("SingleHiddenLayerResidualModel")
+    params = cls.init(jax.random.PRNGKey(0), 6400 + VOCAB, VOCAB)
+    x = jnp.zeros((2, 6400 + VOCAB))
+    out = cls.apply(params, x, vocab_size=VOCAB)
+    assert out["predictions"].shape == (2, VOCAB)
+
+
+def test_frame_level_logistic_mean_pools_true_frames():
+    cls = get_model("FrameLevelLogisticModel")
+    params = cls.init(jax.random.PRNGKey(0), 8, VOCAB)
+    x = np.zeros((1, 10, 8), np.float32)
+    x[0, :4] = 1.0
+    out = cls.apply(params, jnp.asarray(x), vocab_size=VOCAB,
+                    num_frames=jnp.array([4]))
+    # mean over 4 true frames of ones == 1.0 vector
+    expect = 1 / (1 + np.exp(-(np.ones(8) @ np.asarray(params["fc"]["w"])
+                               + np.asarray(params["fc"]["b"]))))
+    np.testing.assert_allclose(np.asarray(out["predictions"][0]), expect, rtol=1e-5)
+
+
+def test_dbof_model_runs():
+    cls = get_model("DbofModel")
+    params = cls.init(jax.random.PRNGKey(0), 8, VOCAB, cluster_size=16,
+                      hidden_size=8)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(2, 12, 8)), jnp.float32)
+    out = cls.apply(params, x, vocab_size=VOCAB, num_frames=jnp.array([12, 5]),
+                    iterations=4, rng=jax.random.PRNGKey(1), is_training=True)
+    assert out["predictions"].shape == (2, VOCAB)
+    assert "updated_params" in out
+    # inference path uses moving stats and needs no rng
+    out2 = cls.apply(params, x, vocab_size=VOCAB, num_frames=jnp.array([12, 5]),
+                     is_training=False)
+    assert out2["predictions"].shape == (2, VOCAB)
+
+
+def test_frame_pooling_and_sampling():
+    frames = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 3, 4))
+    np.testing.assert_allclose(np.asarray(frame_pooling(frames, "average")),
+                               np.asarray(frames).mean(1))
+    np.testing.assert_allclose(np.asarray(frame_pooling(frames, "max")),
+                               np.asarray(frames).max(1))
+    assert frame_pooling(frames, "none").shape == (6, 4)
+    with pytest.raises(ValueError):
+        frame_pooling(frames, "bogus")
+
+    sampled = sample_random_frames(frames, jnp.array([3, 2]), 5,
+                                   jax.random.PRNGKey(0))
+    assert sampled.shape == (2, 5, 4)
+
+
+def test_vlad_stubs_raise():
+    for name in ["NetVLADModel", "NeXtVLADModel"]:
+        with pytest.raises(NotImplementedError):
+            get_model(name).init(jax.random.PRNGKey(0), 8, VOCAB)
