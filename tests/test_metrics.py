@@ -1,0 +1,158 @@
+"""Metrics tests: hand-computed oracles + an independent reference
+implementation of the heap/tie-break AP semantics."""
+
+import heapq
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from efficientvideoclassification_youtube8m_tpu import metrics
+
+
+def test_hit_at_one():
+    preds = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    actuals = np.array([[0, 1, 0], [0, 0, 1]], np.float32)
+    assert metrics.calculate_hit_at_one(preds, actuals) == 0.5
+
+
+def test_perr():
+    preds = np.array([[0.1, 0.9, 0.5, 0.0]])
+    actuals = np.array([[0, 1, 1, 0]], np.float32)
+    # 2 labels -> top-2 = {1, 2}, both positive -> PERR 1.0
+    assert metrics.calculate_precision_at_equal_recall_rate(preds, actuals) == 1.0
+    actuals2 = np.array([[1, 1, 0, 0]], np.float32)
+    # top-2 = {1, 2}: one positive -> 0.5
+    assert metrics.calculate_precision_at_equal_recall_rate(preds, actuals2) == 0.5
+
+
+def _ref_ap_at_n(predictions, actuals, n, total_num_positives):
+    """Literal transcription of the reference algorithm for cross-checking."""
+    predictions = np.array(predictions)
+    actuals = np.array(actuals)
+    random.seed(0)
+    suffidx = random.sample(range(len(predictions)), len(predictions))
+    predictions, actuals = predictions[suffidx], actuals[suffidx]
+    sortidx = sorted(range(len(predictions)), key=lambda k: predictions[k],
+                     reverse=True)
+    numpos = total_num_positives
+    if numpos == 0:
+        return 0
+    if n is not None:
+        numpos = min(numpos, n)
+    delta_recall = 1.0 / numpos
+    ap, poscount = 0.0, 0.0
+    r = len(sortidx) if n is None else min(len(sortidx), n)
+    for i in range(r):
+        if actuals[sortidx[i]] > 0:
+            poscount += 1
+            ap += poscount / (i + 1) * delta_recall
+    return ap
+
+
+def test_ap_perfect_ranking():
+    p = np.array([0.9, 0.8, 0.3, 0.2])
+    a = np.array([1, 1, 0, 0])
+    ap = metrics.AveragePrecisionCalculator.ap(p, a)
+    np.testing.assert_allclose(ap, 1.0)
+
+
+def test_ap_with_ties_matches_reference_shuffle():
+    """Oracle replicates the reference's FULL pipeline — heap accumulation
+    (which reorders entries) feeding the seeded shuffle + sort — since the
+    heap ordering feeds the tie-break."""
+    rng = np.random.default_rng(0)
+    p = np.round(rng.uniform(size=200), 1)  # heavy ties
+    a = (rng.uniform(size=200) < 0.3).astype(np.float64)
+    calc = metrics.AveragePrecisionCalculator()
+    calc.accumulate(list(p), list(a))
+    got = calc.peek_ap_at_n()
+
+    heap = []
+    for pi, ai in zip(p, a):
+        heapq.heappush(heap, (pi, ai))
+    predlists = np.array(list(zip(*heap)))
+    want = _ref_ap_at_n(predlists[0], predlists[1], None, int(np.sum(a > 0)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_streaming_heap_truncation():
+    """top_n-bounded accumulation keeps only the largest predictions."""
+    calc = metrics.AveragePrecisionCalculator(top_n=3)
+    calc.accumulate([0.1, 0.5], [0, 1])
+    calc.accumulate([0.9, 0.3, 0.7], [1, 0, 1])
+    assert calc.heap_size == 3
+    kept = sorted(p for p, _ in calc._heap)
+    assert kept == [0.5, 0.7, 0.9]
+    assert calc.num_accumulated_positives == 3
+
+
+def test_gap_against_bruteforce():
+    rng = np.random.default_rng(1)
+    preds = rng.uniform(size=(16, 40)).astype(np.float64)
+    labels = (rng.uniform(size=(16, 40)) < 0.15).astype(np.float64)
+    gap = metrics.calculate_gap(preds, labels, top_k=20)
+
+    # brute-force pooled list of per-video top-20 entries
+    pooled_p, pooled_a = [], []
+    for v in range(16):
+        idx = np.argsort(preds[v])[-20:]
+        pooled_p.extend(preds[v, idx])
+        pooled_a.extend(labels[v, idx])
+    want = _ref_ap_at_n(pooled_p, pooled_a, None, int(labels.sum()))
+    np.testing.assert_allclose(gap, want, rtol=1e-12)
+
+
+def test_evaluation_metrics_aggregator():
+    rng = np.random.default_rng(2)
+    num_class = 25
+    em = metrics.EvaluationMetrics(num_class=num_class, top_k=5)
+    with pytest.raises(ValueError):
+        em.get()
+    for _ in range(3):
+        preds = rng.uniform(size=(8, num_class))
+        labels = (rng.uniform(size=(8, num_class)) < 0.2).astype(np.float64)
+        em.accumulate(preds, labels, loss=np.full(8, 2.0))
+    out = em.get()
+    assert 0 <= out["gap"] <= 1
+    assert len(out["aps"]) == num_class
+    assert out["avg_loss"] == 2.0
+    em.clear()
+    assert em.num_examples == 0
+
+
+def test_topk_fastpath_matches_full_path():
+    """accumulate_topk (device top-k) must give the same GAP/mAP/Hit@1 as
+    the reference full-matrix path when every video has <= k labels."""
+    rng = np.random.default_rng(3)
+    num_class, k = 30, 8
+    preds = rng.uniform(size=(12, num_class))
+    labels = np.zeros((12, num_class))
+    for v in range(12):
+        labels[v, rng.choice(num_class, size=rng.integers(1, 4), replace=False)] = 1
+
+    em_full = metrics.EvaluationMetrics(num_class, k)
+    info_full = em_full.accumulate(preds, labels, np.zeros(12))
+
+    vals, idx = metrics.topk_on_device(jnp.asarray(preds), k)
+    em_fast = metrics.EvaluationMetrics(num_class, k)
+    info_fast = em_fast.accumulate_topk(vals, idx, labels, np.zeros(12))
+
+    np.testing.assert_allclose(info_fast["hit_at_one"], info_full["hit_at_one"])
+    np.testing.assert_allclose(info_fast["perr"], info_full["perr"], rtol=1e-9)
+    full = em_full.get()
+    fast = em_fast.get()
+    np.testing.assert_allclose(fast["gap"], full["gap"], rtol=1e-9)
+    np.testing.assert_allclose(fast["aps"], full["aps"], rtol=1e-9)
+
+
+def test_map_calculator_validation():
+    with pytest.raises(ValueError):
+        metrics.MeanAveragePrecisionCalculator(1)
+    c = metrics.MeanAveragePrecisionCalculator(3)
+    assert c.is_empty()
+    c.accumulate([[0.5], [0.2], [0.9]], [[1], [0], [1]], [1, 0, 1])
+    assert not c.is_empty()
+    aps = c.peek_map_at_n()
+    assert len(aps) == 3
