@@ -1,0 +1,216 @@
+"""Threaded host-side input pipeline.
+
+Replaces the reference's TF1 queue-runner machinery
+(`string_input_producer` + `shuffle_batch_join`,
+`/root/reference/code_student_uniform/train.py:154-176`) with a plain
+producer/consumer design:
+
+  reader threads (one per `num_readers`, like the reference's flag)
+    -> bounded video queue (capacity ~= 50 * batch like the reference)
+      -> batch assembler with an in-memory shuffle buffer
+
+Batches carry RAW uint8 features — dequantize/l2-normalize run on the
+TPU inside the jitted step — so host->device traffic is 1/4 of the f32
+equivalent. Files can be sharded across hosts (`shard_index` /
+`num_shards`) for data-parallel multi-host input.
+
+The record parser is pluggable: the C++ native parser
+(data/native, ~40x the pure-Python throughput) is used when built,
+with `yt8m.parse_frame_record` as fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob as globlib
+import queue
+import random
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.data import yt8m
+from efficientvideoclassification_youtube8m_tpu.data.tfrecord import TFRecordReader
+
+_STOP = object()
+
+
+@dataclasses.dataclass
+class FrameBatch:
+    video_ids: List[str]
+    features: np.ndarray  # [B, max_frames, total_size] uint8 (zero-padded)
+    labels: np.ndarray  # [B, vocab] bool
+    num_frames: np.ndarray  # [B] int32
+    pad: int = 0  # trailing rows that are padding (eval tail batches)
+
+
+class FrameDataLoader:
+    """Iterates FrameBatch over a glob of TFRecord shards."""
+
+    def __init__(
+        self,
+        data_pattern: str,
+        batch_size: int,
+        feature_names: Sequence[str] = ("rgb", "audio"),
+        feature_sizes: Sequence[int] = (1024, 128),
+        max_frames: int = 300,
+        vocab_size: int = 4716,
+        num_readers: int = 1,
+        num_epochs: Optional[int] = 1,
+        shuffle: bool = True,
+        shuffle_buffer: Optional[int] = None,
+        seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        pad_final_batch: bool = False,
+        use_native: bool = True,
+    ):
+        self.files = sorted(globlib.glob(data_pattern))
+        if not self.files:
+            raise IOError(f"Unable to find training files. data_pattern='{data_pattern}'")
+        self.files = self.files[shard_index::num_shards]
+        self.batch_size = batch_size
+        self.feature_names = list(feature_names)
+        self.feature_sizes = list(feature_sizes)
+        self.total_size = sum(feature_sizes)
+        self.max_frames = max_frames
+        self.vocab_size = vocab_size
+        self.num_readers = max(1, num_readers)
+        self.num_epochs = num_epochs
+        self.shuffle = shuffle
+        self.shuffle_buffer = shuffle_buffer or 5 * batch_size
+        self.seed = seed
+        self.pad_final_batch = pad_final_batch
+
+        self._native = None
+        if use_native:
+            try:
+                from efficientvideoclassification_youtube8m_tpu.data import native
+
+                if native.available():
+                    self._native = native
+            except ImportError:
+                pass
+
+    # ------------------------------------------------------------------
+    def _iter_file(self, path: str) -> Iterator[yt8m.FrameVideo]:
+        if self._native is not None:
+            yield from self._native.read_frame_file(
+                path, self.feature_names, self.feature_sizes, self.max_frames
+            )
+        else:
+            for record in TFRecordReader(path):
+                yield yt8m.parse_frame_record(
+                    record, self.feature_names, self.feature_sizes, self.max_frames
+                )
+
+    def _reader_thread(self, file_q: "queue.Queue", video_q: "queue.Queue"):
+        while True:
+            path = file_q.get()
+            if path is _STOP:
+                video_q.put(_STOP)
+                return
+            try:
+                for video in self._iter_file(path):
+                    video_q.put(video)
+            except Exception as e:  # surface loader errors to the consumer
+                video_q.put(e)
+                return
+
+    def __iter__(self) -> Iterator[FrameBatch]:
+        rng = random.Random(self.seed)
+        epoch = 0
+        file_q: "queue.Queue" = queue.Queue()
+        video_q: "queue.Queue" = queue.Queue(maxsize=max(50 * self.batch_size, 256))
+
+        files = []
+        while self.num_epochs is None or epoch < self.num_epochs:
+            shard_list = list(self.files)
+            if self.shuffle:
+                rng.shuffle(shard_list)
+            files.extend(shard_list)
+            epoch += 1
+            if self.num_epochs is None and epoch > 0:
+                break  # infinite: threads re-enqueue below
+        infinite = self.num_epochs is None
+
+        for f in files:
+            file_q.put(f)
+        threads = [
+            threading.Thread(
+                target=self._reader_thread, args=(file_q, video_q), daemon=True
+            )
+            for _ in range(self.num_readers)
+        ]
+        if not infinite:
+            for _ in threads:
+                file_q.put(_STOP)
+        for t in threads:
+            t.start()
+
+        buffer: List[yt8m.FrameVideo] = []
+        finished_readers = 0
+        exhausted = False
+        try:
+            while True:
+                while not exhausted and len(buffer) < (
+                    self.shuffle_buffer if self.shuffle else self.batch_size
+                ):
+                    item = video_q.get()
+                    if item is _STOP:
+                        finished_readers += 1
+                        if finished_readers == len(threads):
+                            if infinite:
+                                # refill for another pass
+                                shard_list = list(self.files)
+                                if self.shuffle:
+                                    rng.shuffle(shard_list)
+                                for f in shard_list:
+                                    file_q.put(f)
+                                finished_readers = 0
+                            else:
+                                exhausted = True
+                    elif isinstance(item, Exception):
+                        raise item
+                    else:
+                        buffer.append(item)
+                if not buffer:
+                    return
+                take = min(self.batch_size, len(buffer))
+                if self.shuffle:
+                    picked = [
+                        buffer.pop(rng.randrange(len(buffer))) for _ in range(take)
+                    ]
+                else:
+                    picked, buffer = buffer[:take], buffer[take:]
+                if take < self.batch_size and not self.pad_final_batch and exhausted:
+                    yield self._assemble(picked, pad=0)
+                    return
+                yield self._assemble(
+                    picked,
+                    pad=(self.batch_size - take) if self.pad_final_batch else 0,
+                )
+                if exhausted and not buffer:
+                    return
+        finally:
+            pass
+
+    # ------------------------------------------------------------------
+    def _assemble(self, videos: List[yt8m.FrameVideo], pad: int) -> FrameBatch:
+        n = len(videos)
+        B = n + pad
+        features = np.zeros((B, self.max_frames, self.total_size), np.uint8)
+        labels = np.zeros((B, self.vocab_size), bool)
+        num_frames = np.zeros((B,), np.int32)
+        ids = []
+        for i, v in enumerate(videos):
+            nf = v.num_frames
+            features[i, :nf] = v.features[:nf]
+            for c in v.labels:
+                if 0 <= c < self.vocab_size:
+                    labels[i, c] = True
+            num_frames[i] = nf
+            ids.append(v.video_id)
+        ids.extend([""] * pad)
+        return FrameBatch(ids, features, labels, num_frames, pad=pad)

@@ -1,0 +1,272 @@
+"""Data layer tests: proto wire round-trips, TFRecord framing + CRC32C,
+YT8M record round-trips, and the threaded loader."""
+
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from efficientvideoclassification_youtube8m_tpu.data import (
+    FrameDataLoader,
+    TFRecordReader,
+    TFRecordWriter,
+    crc32c,
+    encode_aggregated_record,
+    encode_frame_record,
+    masked_crc32c,
+    parse_aggregated_record,
+    parse_frame_record,
+    write_synthetic_frame_shard,
+)
+from efficientvideoclassification_youtube8m_tpu.data import proto
+
+
+# ---------------------------------------------------------------------------
+# CRC32C (known vectors from RFC 3720 / public test suites)
+# ---------------------------------------------------------------------------
+
+def test_crc32c_known_vectors():
+    assert crc32c(b"") == 0x0
+    assert crc32c(b"a") == 0xC1D04330
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+    assert crc32c(bytes([0xFF] * 32)) == 0x62A8AB43
+
+
+def test_masked_crc_roundtrip():
+    from efficientvideoclassification_youtube8m_tpu.data.tfrecord import unmask_crc32c
+
+    for data in [b"", b"hello", bytes(100)]:
+        m = masked_crc32c(data)
+        assert unmask_crc32c(m) == crc32c(data)
+
+
+# ---------------------------------------------------------------------------
+# proto wire format
+# ---------------------------------------------------------------------------
+
+def test_varint_roundtrip():
+    for v in [0, 1, 127, 128, 300, 2**32, 2**63 - 1]:
+        buf = proto.write_varint(v)
+        got, pos = proto.read_varint(buf, 0)
+        assert got == v and pos == len(buf)
+
+
+def test_feature_roundtrip():
+    for kind, values in [
+        ("bytes", [b"abc", b"", b"\x00\xff"]),
+        ("float", [0.0, 1.5, -2.25]),
+        ("int64", [0, 1, -1, 2**40, -(2**40)]),
+    ]:
+        buf = proto.encode_feature(kind, values)
+        # encode_feature wraps in a Feature message; decode it directly
+        k, vals = proto.decode_feature(memoryview(buf))
+        assert k == kind
+        if kind == "float":
+            np.testing.assert_allclose(vals, values, rtol=1e-6)
+        else:
+            assert vals == values
+
+
+def test_sequence_example_roundtrip():
+    context = {
+        "id": ("bytes", [b"video123"]),
+        "labels": ("int64", [5, 17, 4000]),
+    }
+    fl = {
+        "rgb": [("bytes", [bytes(range(10))]), ("bytes", [bytes(range(10, 20))])],
+    }
+    buf = proto.encode_sequence_example(context, fl)
+    ctx, lists = proto.decode_sequence_example(buf)
+    assert ctx["id"] == ("bytes", [b"video123"])
+    assert ctx["labels"] == ("int64", [5, 17, 4000])
+    assert lists["rgb"][0] == ("bytes", [bytes(range(10))])
+    assert lists["rgb"][1] == ("bytes", [bytes(range(10, 20))])
+
+
+def test_wire_compat_against_protobuf_lib():
+    """Cross-check our encoder against the installed google.protobuf
+    decoder using a dynamically-built descriptor of Example."""
+    pb = pytest.importorskip("google.protobuf")
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    pool = descriptor_pool.DescriptorPool()
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "tfx.proto"
+    fdp.package = "tfx"
+    for name, fields in {
+        "BytesList": [("value", 12, 3)],  # bytes, repeated
+        "FloatList": [("value", 2, 3)],  # float, repeated
+        "Int64List": [("value", 3, 3)],  # int64, repeated
+    }.items():
+        m = fdp.message_type.add()
+        m.name = name
+        for fname, ftype, flabel in fields:
+            f = m.field.add()
+            f.name, f.number, f.type, f.label = fname, 1, ftype, flabel
+    feat = fdp.message_type.add()
+    feat.name = "Feature"
+    for i, (fname, tname) in enumerate(
+        [("bytes_list", "BytesList"), ("float_list", "FloatList"),
+         ("int64_list", "Int64List")], start=1):
+        f = feat.field.add()
+        f.name, f.number, f.type, f.label = fname, i, 11, 1
+        f.type_name = f".tfx.{tname}"
+    pool.Add(fdp)
+    factory = message_factory.GetMessageClass(pool.FindMessageTypeByName("tfx.Feature"))
+
+    buf = proto.encode_feature("int64", [1, 2, 300000])
+    msg = factory.FromString(bytes(buf))
+    assert list(msg.int64_list.value) == [1, 2, 300000]
+
+    buf = proto.encode_feature("float", [1.5, -2.0])
+    msg = factory.FromString(bytes(buf))
+    np.testing.assert_allclose(list(msg.float_list.value), [1.5, -2.0])
+
+
+# ---------------------------------------------------------------------------
+# TFRecord framing
+# ---------------------------------------------------------------------------
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = str(tmp_path / "test.tfrecord")
+    records = [b"first", b"", b"x" * 1000]
+    with TFRecordWriter(path) as w:
+        for r in records:
+            w.write(r)
+    got = list(TFRecordReader(path, verify_crc=True))
+    assert got == records
+
+
+def test_tfrecord_detects_corruption(tmp_path):
+    path = str(tmp_path / "bad.tfrecord")
+    with TFRecordWriter(path) as w:
+        w.write(b"hello world")
+    data = bytearray(open(path, "rb").read())
+    data[14] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(IOError):
+        list(TFRecordReader(path, verify_crc=True))
+
+
+# ---------------------------------------------------------------------------
+# YT8M records
+# ---------------------------------------------------------------------------
+
+def test_frame_record_roundtrip():
+    rng = np.random.default_rng(0)
+    feats = rng.integers(0, 256, size=(7, 12), dtype=np.uint8)
+    buf = encode_frame_record("vidA", [3, 99], feats,
+                              feature_names=("rgb", "audio"),
+                              feature_sizes=(8, 4))
+    v = parse_frame_record(buf, ("rgb", "audio"), (8, 4), max_frames=300)
+    assert v.video_id == "vidA"
+    assert v.labels == [3, 99]
+    assert v.num_frames == 7
+    np.testing.assert_array_equal(v.features, feats)
+
+
+def test_frame_record_truncates_at_max_frames():
+    feats = np.arange(20 * 4, dtype=np.uint8).reshape(20, 4)
+    buf = encode_frame_record("v", [1], feats, ("rgb",), (4,))
+    v = parse_frame_record(buf, ("rgb",), (4,), max_frames=10)
+    assert v.num_frames == 10
+    np.testing.assert_array_equal(v.features, feats[:10])
+
+
+def test_aggregated_record_roundtrip():
+    feats = np.linspace(-1, 1, 12).astype(np.float32)
+    buf = encode_aggregated_record("agg1", [7], feats,
+                                   ("mean_rgb", "mean_audio"), (8, 4))
+    v = parse_aggregated_record(buf, ("mean_rgb", "mean_audio"), (8, 4))
+    assert v.video_id == "agg1"
+    assert v.labels == [7]
+    np.testing.assert_allclose(v.features, feats, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# loader
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def shard_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shards")
+    truths = {}
+    for s in range(2):
+        path = str(d / f"train-{s:04d}.tfrecord")
+        truths[path] = write_synthetic_frame_shard(
+            path, num_videos=13, seed=s, feature_names=("rgb", "audio"),
+            feature_sizes=(6, 2), max_frames=20, vocab_size=40)
+    return d, truths
+
+
+def test_loader_sees_every_video_once(shard_dir):
+    d, truths = shard_dir
+    loader = FrameDataLoader(
+        str(d / "*.tfrecord"), batch_size=4, feature_names=("rgb", "audio"),
+        feature_sizes=(6, 2), max_frames=20, vocab_size=40, num_epochs=1,
+        shuffle=True, num_readers=2, use_native=False)
+    seen = []
+    for batch in loader:
+        assert batch.features.shape[1:] == (20, 8)
+        assert batch.features.dtype == np.uint8
+        seen.extend(batch.video_ids[: len(batch.video_ids) - batch.pad])
+    all_ids = [v.video_id for t in truths.values() for v in t]
+    assert sorted(seen) == sorted(all_ids)
+
+
+def test_loader_content_matches_truth(shard_dir):
+    d, truths = shard_dir
+    loader = FrameDataLoader(
+        str(d / "*.tfrecord"), batch_size=5, feature_names=("rgb", "audio"),
+        feature_sizes=(6, 2), max_frames=20, vocab_size=40, num_epochs=1,
+        shuffle=False, num_readers=1, use_native=False)
+    truth_by_id = {v.video_id: v for t in truths.values() for v in t}
+    count = 0
+    for batch in loader:
+        for i, vid in enumerate(batch.video_ids):
+            t = truth_by_id[vid]
+            nf = batch.num_frames[i]
+            assert nf == t.num_frames
+            np.testing.assert_array_equal(batch.features[i, :nf], t.features[:nf])
+            assert np.all(batch.features[i, nf:] == 0)  # zero padding
+            np.testing.assert_array_equal(
+                np.nonzero(batch.labels[i])[0], np.asarray(t.labels))
+            count += 1
+    assert count == len(truth_by_id)
+
+
+def test_loader_pad_final_batch(shard_dir):
+    d, _ = shard_dir
+    loader = FrameDataLoader(
+        str(d / "*.tfrecord"), batch_size=4, feature_names=("rgb", "audio"),
+        feature_sizes=(6, 2), max_frames=20, vocab_size=40, num_epochs=1,
+        shuffle=False, pad_final_batch=True, use_native=False)
+    batches = list(loader)
+    assert all(b.features.shape[0] == 4 for b in batches)
+    total = sum(len(b.video_ids) - b.pad for b in batches)
+    assert total == 26
+    assert batches[-1].pad == (4 - 26 % 4) % 4
+
+
+def test_loader_sharding(shard_dir):
+    d, truths = shard_dir
+    ids = []
+    for shard_index in range(2):
+        loader = FrameDataLoader(
+            str(d / "*.tfrecord"), batch_size=4, feature_names=("rgb", "audio"),
+            feature_sizes=(6, 2), max_frames=20, vocab_size=40, num_epochs=1,
+            shuffle=False, shard_index=shard_index, num_shards=2,
+            use_native=False)
+        ids.append(sorted(
+            vid for b in loader for vid in b.video_ids[: len(b.video_ids) - b.pad]
+        ))
+    assert not (set(ids[0]) & set(ids[1]))
+    all_ids = sorted(v.video_id for t in truths.values() for v in t)
+    assert sorted(ids[0] + ids[1]) == all_ids
+
+
+def test_loader_missing_files():
+    with pytest.raises(IOError):
+        FrameDataLoader("/nonexistent/*.tfrecord", batch_size=4)
