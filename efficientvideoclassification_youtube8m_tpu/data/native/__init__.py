@@ -1,0 +1,147 @@
+"""ctypes bindings for the native YT8M TFRecord/SequenceExample parser.
+
+Builds `libyt8m_io.so` from yt8m_io.cc on first use (g++ -O3; a few
+seconds) and caches it next to the source. Falls back cleanly —
+`available()` returns False and the pure-Python parser takes over — if
+no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.data.yt8m import FrameVideo
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "yt8m_io.cc")
+_SO = os.path.join(_DIR, "libyt8m_io.so")
+
+_lib = None
+_lock = threading.Lock()
+_ID_CAP = 256
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.yt8m_open.restype = ctypes.c_void_p
+        lib.yt8m_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.yt8m_next_batch.restype = ctypes.c_int32
+        lib.yt8m_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.c_int32,
+        ]
+        lib.yt8m_error.restype = ctypes.c_char_p
+        lib.yt8m_error.argtypes = [ctypes.c_void_p]
+        lib.yt8m_close.argtypes = [ctypes.c_void_p]
+        lib.yt8m_crc32c.restype = ctypes.c_uint32
+        lib.yt8m_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def crc32c(data: bytes) -> int:
+    lib = _load()
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    return lib.yt8m_crc32c(buf, len(data))
+
+
+def read_frame_file(
+    path: str,
+    feature_names: Sequence[str] = ("rgb", "audio"),
+    feature_sizes: Sequence[int] = (1024, 128),
+    max_frames: int = 300,
+    verify_crc: bool = False,
+    batch: int = 32,
+    labels_cap: int = 64,
+) -> Iterator[FrameVideo]:
+    """Yield FrameVideo records via the native parser.
+
+    Features come back already padded to [max_frames, total]; num_frames
+    records the true (capped) count, matching readers.py:234.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native parser unavailable")
+    names = (ctypes.c_char_p * len(feature_names))(
+        *[n.encode() for n in feature_names]
+    )
+    sizes = (ctypes.c_int32 * len(feature_sizes))(*feature_sizes)
+    total = sum(feature_sizes)
+    reader = lib.yt8m_open(
+        path.encode(), names, sizes, len(feature_names), max_frames,
+        1 if verify_crc else 0,
+    )
+    if not reader:
+        raise IOError(f"cannot open {path}")
+    try:
+        feats = np.empty((batch, max_frames, total), np.uint8)
+        num_frames = np.empty((batch,), np.int32)
+        labels = np.empty((batch, labels_cap), np.int32)
+        num_labels = np.empty((batch,), np.int32)
+        ids = ctypes.create_string_buffer(batch * _ID_CAP)
+        while True:
+            n = lib.yt8m_next_batch(
+                reader, batch,
+                feats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                num_frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                labels_cap,
+                num_labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ids, _ID_CAP,
+            )
+            if n < 0:
+                raise IOError(
+                    f"parse error in {path}: {lib.yt8m_error(reader).decode()}"
+                )
+            for i in range(n):
+                vid = ids.raw[i * _ID_CAP : (i + 1) * _ID_CAP].split(b"\0", 1)[0]
+                yield FrameVideo(
+                    video_id=vid.decode("utf-8", "replace"),
+                    labels=labels[i, : num_labels[i]].tolist(),
+                    features=feats[i].copy(),
+                    num_frames=int(num_frames[i]),
+                )
+            if n < batch:
+                return
+    finally:
+        lib.yt8m_close(reader)

@@ -1,0 +1,94 @@
+"""Differential tests: C++ native parser vs the pure-Python parser."""
+
+import time
+
+import numpy as np
+import pytest
+
+from efficientvideoclassification_youtube8m_tpu.data import (
+    FrameDataLoader,
+    crc32c,
+    write_synthetic_frame_shard,
+)
+from efficientvideoclassification_youtube8m_tpu.data import native
+from efficientvideoclassification_youtube8m_tpu.data.yt8m import read_frame_file
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native parser could not be built"
+)
+
+
+@pytest.fixture(scope="module")
+def shard(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native_shards")
+    path = str(d / "shard.tfrecord")
+    truth = write_synthetic_frame_shard(
+        path, num_videos=23, seed=7, feature_names=("rgb", "audio"),
+        feature_sizes=(16, 4), max_frames=30, vocab_size=100)
+    return path, truth
+
+
+def test_native_crc_matches_python():
+    for data in [b"", b"a", b"123456789", bytes(1000), b"x" * 8191]:
+        assert native.crc32c(data) == crc32c(data)
+
+
+def test_native_matches_python_parser(shard):
+    path, truth = shard
+    py_videos = list(read_frame_file(path, ("rgb", "audio"), (16, 4), 30))
+    nat_videos = list(native.read_frame_file(path, ("rgb", "audio"), (16, 4), 30))
+    assert len(py_videos) == len(nat_videos) == len(truth)
+    for pv, nv in zip(py_videos, nat_videos):
+        assert pv.video_id == nv.video_id
+        assert pv.labels == nv.labels
+        assert pv.num_frames == nv.num_frames
+        # native returns padded [max_frames, total]; python returns true rows
+        np.testing.assert_array_equal(nv.features[: pv.num_frames], pv.features)
+        assert np.all(nv.features[pv.num_frames :] == 0)
+
+
+def test_native_with_crc_verification(shard):
+    path, truth = shard
+    videos = list(native.read_frame_file(path, ("rgb", "audio"), (16, 4), 30,
+                                         verify_crc=True))
+    assert len(videos) == len(truth)
+
+
+def test_native_truncates_at_max_frames(shard):
+    path, truth = shard
+    videos = list(native.read_frame_file(path, ("rgb", "audio"), (16, 4),
+                                         max_frames=5))
+    for v, t in zip(videos, truth):
+        assert v.num_frames == min(t.num_frames, 5)
+        np.testing.assert_array_equal(v.features[:5], t.features[:5])
+
+
+def test_loader_uses_native(shard):
+    path, truth = shard
+    loader = FrameDataLoader(
+        path, batch_size=6, feature_names=("rgb", "audio"),
+        feature_sizes=(16, 4), max_frames=30, vocab_size=100, num_epochs=1,
+        shuffle=False, use_native=True)
+    assert loader._native is not None
+    seen = sum(len(b.video_ids) - b.pad for b in loader)
+    assert seen == len(truth)
+
+
+def test_native_is_faster_than_python(tmp_path):
+    """Sanity throughput check (not a benchmark): native >= python."""
+    path = str(tmp_path / "perf.tfrecord")
+    write_synthetic_frame_shard(path, num_videos=60, seed=1,
+                                feature_names=("rgb", "audio"),
+                                feature_sizes=(1024, 128), max_frames=300,
+                                vocab_size=4716)
+    # warm both paths (page cache + lazy init)
+    sum(1 for _ in native.read_frame_file(path))
+    sum(1 for _ in read_frame_file(path))
+    t0 = time.perf_counter()
+    n_nat = sum(1 for _ in native.read_frame_file(path))
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_py = sum(1 for _ in read_frame_file(path))
+    t_py = time.perf_counter() - t0
+    assert n_nat == n_py == 60
+    assert t_nat < t_py
