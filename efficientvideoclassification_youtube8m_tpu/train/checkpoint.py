@@ -1,0 +1,97 @@
+"""Checkpointing: msgpack pytree snapshots with TF-Saver-style semantics.
+
+Replaces the reference's `tf.train.Saver` V2 checkpoints + `.meta` graph
+files (`train.py:496-504,651`): `model.ckpt-<step>.msgpack` files, a
+`checkpoint` pointer file (latest first), and `max_to_keep`. "Meta-graph
+surgery" (train_convert_model.py:360-401) becomes subtree selection on
+the state pytree (`train/state.py:student_state_from_distill`).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, List, Optional
+
+import flax.serialization
+import jax
+
+_POINTER = "checkpoint"
+_PREFIX = "model.ckpt"
+
+
+def save_checkpoint(
+    train_dir: str, state: Any, step: int, max_to_keep: int = 1
+) -> str:
+    """Write `model.ckpt-<step>.msgpack` and update the pointer file.
+    The reference keeps only the latest (`Saver(max_to_keep=1)`,
+    train.py:651)."""
+    os.makedirs(train_dir, exist_ok=True)
+    state = jax.device_get(state)
+    path = os.path.join(train_dir, f"{_PREFIX}-{step}.msgpack")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    os.replace(tmp, path)
+
+    existing = _list_checkpoints(train_dir)
+    ordered = [path] + [p for p in existing if p != path]
+    with open(os.path.join(train_dir, _POINTER), "w") as f:
+        for p in ordered:
+            f.write(os.path.basename(p) + "\n")
+    if max_to_keep and len(ordered) > max_to_keep:
+        for p in ordered[max_to_keep:]:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    return path
+
+
+def _list_checkpoints(train_dir: str) -> List[str]:
+    if not os.path.isdir(train_dir):
+        return []
+    paths = []
+    for name in os.listdir(train_dir):
+        m = re.fullmatch(rf"{re.escape(_PREFIX)}-(\d+)\.msgpack", name)
+        if m:
+            paths.append((int(m.group(1)), os.path.join(train_dir, name)))
+    return [p for _, p in sorted(paths, reverse=True)]
+
+
+def latest_checkpoint(train_dir: str) -> Optional[str]:
+    """`tf.train.latest_checkpoint` equivalent: pointer file first, then
+    a directory scan fallback."""
+    pointer = os.path.join(train_dir, _POINTER)
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            for line in f:
+                candidate = os.path.join(train_dir, line.strip())
+                if os.path.exists(candidate):
+                    return candidate
+    existing = _list_checkpoints(train_dir)
+    return existing[0] if existing else None
+
+
+def checkpoint_step(path: str) -> int:
+    m = re.search(rf"{re.escape(_PREFIX)}-(\d+)\.msgpack$", path)
+    return int(m.group(1)) if m else 0
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore into a template pytree (shapes/dtypes from `target`)."""
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(target, f.read())
+
+
+def restore_subtree(path: str, target: Any, keys: List[str]) -> Any:
+    """Partial restore by top-level field names — the explicit
+    name->variable maps of validate.py:350-381 become field selection."""
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    state_dict = flax.serialization.to_state_dict(target)
+    for k in keys:
+        if k not in raw:
+            raise KeyError(f"checkpoint {path} has no field {k!r}")
+        state_dict[k] = raw[k]
+    return flax.serialization.from_state_dict(target, state_dict)

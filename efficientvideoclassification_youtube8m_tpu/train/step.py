@@ -1,0 +1,305 @@
+"""Jitted train/eval steps.
+
+One XLA program per step replaces the reference's
+`sess.run([train_op, train_student_op, ...])` hot loop
+(`/root/reference/code_student_uniform/train.py:516-517`): both towers'
+forward+backward, both optimizer updates, and the on-device top-k for
+host metrics, fused and scheduled by XLA — the teacher and student
+towers have no data dependence (beyond the stop-gradiented distillation
+targets) so XLA overlaps them, mirroring the reference's intra-op
+two-tower concurrency.
+
+Input contract (from data/loader.py): raw uint8 features — dequantize +
+l2-normalize happen HERE, on device.
+
+Faithful quirks (cfg.faithful_quirks=True, SURVEY.md §2.5):
+  * L_REP enters the student loss twice (train.py:406);
+  * the shared global_step advances 2 per batch and drives both LR
+    schedules (train.py:230,329,413);
+  * L_PRED sums (not means) over the batch (train.py:402).
+Set faithful_quirks=False for the corrected versions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from efficientvideoclassification_youtube8m_tpu import losses as losses_lib
+from efficientvideoclassification_youtube8m_tpu.models import get_model
+from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+    dequantize,
+    l2_normalize,
+    student_num_frames,
+    uniform_subsample,
+)
+from efficientvideoclassification_youtube8m_tpu.train.optimizer import (
+    Optimizer,
+    exponential_decay,
+)
+from efficientvideoclassification_youtube8m_tpu.train.state import (
+    DistillState,
+    StudentState,
+)
+from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+
+def _model_apply_kwargs(cfg: TrainConfig) -> Dict[str, Any]:
+    kw: Dict[str, Any] = {
+        "classifier": cfg.video_level_classifier_model,
+        "compute_dtype": jnp.bfloat16
+        if cfg.compute_dtype == "bfloat16"
+        else jnp.float32,
+    }
+    if cfg.video_level_classifier_model == "MoeModel":
+        kw["num_mixtures"] = cfg.moe_num_mixtures
+    else:
+        kw["num_hidden_units"] = cfg.num_hidden_units
+    return kw
+
+
+def preprocess_batch(cfg: TrainConfig, features_u8: jax.Array) -> jax.Array:
+    """uint8 [B, T, D] -> l2-normalized f32 (train.py:256 + readers.py
+    Dequantize), fused on device."""
+    return l2_normalize(dequantize(features_u8), axis=2)
+
+
+def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None):
+    model = get_model(cfg.model)
+    return model.apply(
+        params,
+        model_input,
+        vocab_size=cfg.num_classes,
+        num_frames=num_frames,
+        num_chunks=cfg.num_inputs_to_lstm,
+        labels=labels,
+        **_model_apply_kwargs(cfg),
+    )
+
+
+def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_stud,
+                    labels=None):
+    """`create_model_inference` (frame_level_models.py:269-338): same
+    architecture on the subsampled frames with num_inputs_L1 chunks."""
+    model = get_model(cfg.model)
+    return model.apply(
+        params,
+        model_input_student,
+        vocab_size=cfg.num_classes,
+        num_frames=num_frames_stud,
+        num_chunks=cfg.num_inputs_L1,
+        labels=labels,
+        **_model_apply_kwargs(cfg),
+    )
+
+
+def _distill_losses(cfg: TrainConfig, out_t, out_s, labels):
+    """All six scalars of the reference's train graph (train.py:294-406)."""
+    label_loss_fn = losses_lib.get_loss(cfg.label_loss)
+
+    teacher_label_loss = out_t.get("loss")
+    if teacher_label_loss is None:
+        teacher_label_loss = label_loss_fn(out_t["predictions"], labels)
+    teacher_reg = out_t.get("regularization_loss", 0.0)
+    teacher_final = cfg.regularization_penalty * teacher_reg + teacher_label_loss
+
+    l_rep = losses_lib.representation_loss(out_t["state"], out_s["state"])
+    l_pred = losses_lib.prediction_kl_loss(
+        out_t["predictions"], out_s["predictions"]
+    )
+    student_label_loss = out_s.get("loss")
+    if student_label_loss is None:
+        student_label_loss = label_loss_fn(out_s["predictions"], labels)
+    student_reg = out_s.get("regularization_loss", 0.0)
+    rep_weight = 2.0 if cfg.faithful_quirks else 1.0
+    student_total = (
+        rep_weight * l_rep
+        + l_pred
+        + student_label_loss
+        + cfg.regularization_penalty * student_reg
+    )
+    return {
+        "teacher_label_loss": teacher_label_loss,
+        "teacher_final_loss": teacher_final,
+        "teacher_reg_loss": teacher_reg,
+        "student_loss_state": l_rep,  # L_REP
+        "pred_loss": l_pred,  # L_PRED
+        "student_label_loss": student_label_loss,  # L_CE
+        "student_reg_loss": student_reg,
+        "total_student_loss": student_total,
+    }
+
+
+def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20):
+    """Returns step(state, features_u8, labels, num_frames) ->
+    (state, metrics). Jit-compatible; sharding is applied by the caller
+    (parallel/)."""
+    schedule = exponential_decay(
+        cfg.base_learning_rate,
+        cfg.batch_size,
+        cfg.learning_rate_decay_examples,
+        cfg.learning_rate_decay,
+    )
+    step_increment = 2 if cfg.faithful_quirks else 1
+
+    def loss_fn(params_t, params_s, model_input, model_input_s, num_frames,
+                nf_student, labels):
+        out_t = forward_teacher(cfg, params_t, model_input, num_frames, labels)
+        out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels)
+        ls = _distill_losses(cfg, out_t, out_s, labels)
+        total = ls["teacher_final_loss"] + ls["total_student_loss"]
+        return total, (ls, out_t["predictions"], out_s["predictions"])
+
+    def step(state: DistillState, features_u8, labels, num_frames):
+        model_input = preprocess_batch(cfg, features_u8)
+        model_input_s = uniform_subsample(model_input, cfg.every_n)
+        nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (g_t, g_s), (ls, preds_t, preds_s) = grad_fn(
+            state.params_teacher, state.params_student, model_input,
+            model_input_s, num_frames, nf_student, labels,
+        )
+        # Both towers' schedules read the SAME pre-update global step
+        # (deterministic resolution of the reference's read/increment race).
+        lr = schedule(state.global_step)
+        new_pt, new_ot = optimizer.update(
+            g_t, state.opt_teacher, state.params_teacher, lr
+        )
+        new_ps, new_os = optimizer.update(
+            g_s, state.opt_student, state.params_student, lr
+        )
+        new_state = state.replace(
+            params_teacher=new_pt,
+            params_student=new_ps,
+            opt_teacher=new_ot,
+            opt_student=new_os,
+            global_step=state.global_step + step_increment,
+        )
+        topk_val_t, topk_idx_t = jax.lax.top_k(preds_t, top_k)
+        topk_val_s, topk_idx_s = jax.lax.top_k(preds_s, top_k)
+        metrics = dict(
+            ls,
+            learning_rate=lr,
+            global_step=new_state.global_step,
+            topk_val=topk_val_t,
+            topk_idx=topk_idx_t,
+            topk_val_student=topk_val_s,
+            topk_idx_student=topk_idx_s,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20):
+    """Student-only training: CE + reg (train_finetune.py:263-331)."""
+    schedule = exponential_decay(
+        cfg.base_learning_rate,
+        cfg.batch_size,
+        cfg.learning_rate_decay_examples,
+        cfg.learning_rate_decay,
+    )
+
+    def loss_fn(params_s, model_input_s, nf_student, labels):
+        out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels)
+        label_loss_fn = losses_lib.get_loss(cfg.label_loss)
+        label_loss = out_s.get("loss")
+        if label_loss is None:
+            label_loss = label_loss_fn(out_s["predictions"], labels)
+        reg = out_s.get("regularization_loss", 0.0)
+        total = cfg.regularization_penalty * reg + label_loss
+        return total, (label_loss, reg, out_s["predictions"])
+
+    def step(state: StudentState, features_u8, labels, num_frames):
+        model_input = preprocess_batch(cfg, features_u8)
+        model_input_s = uniform_subsample(model_input, cfg.every_n)
+        nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+        g_s, (label_loss, reg, preds) = grad_fn(
+            state.params_student, model_input_s, nf_student, labels
+        )
+        lr = schedule(state.global_step)
+        new_ps, new_os = optimizer.update(
+            g_s, state.opt_student, state.params_student, lr
+        )
+        new_state = state.replace(
+            params_student=new_ps,
+            opt_student=new_os,
+            global_step=state.global_step + 1,
+        )
+        topk_val, topk_idx = jax.lax.top_k(preds, top_k)
+        metrics = {
+            "student_label_loss": label_loss,
+            "student_reg_loss": reg,
+            "learning_rate": lr,
+            "global_step": new_state.global_step,
+            "topk_val": topk_val,
+            "topk_idx": topk_idx,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def build_validate_step(cfg: TrainConfig, top_k: int = 20):
+    """Student eval with the teacher present for L_REP
+    (validate.py:109-189): both towers forward-only."""
+
+    def step(params_teacher, params_student, features_u8, labels, num_frames):
+        model_input = preprocess_batch(cfg, features_u8)
+        model_input_s = uniform_subsample(model_input, cfg.every_n)
+        nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+        out_t = forward_teacher(cfg, params_teacher, model_input, num_frames, labels)
+        out_s = forward_student(cfg, params_student, model_input_s, nf_student,
+                                labels)
+        ls = _distill_losses(cfg, out_t, out_s, labels)
+        # per-example CE for the epoch aggregator (validate.py:255-268)
+        eps = 10e-6
+        fl = labels.astype(jnp.float32)
+        per_example_loss = -jnp.sum(
+            fl * jnp.log(out_s["predictions"] + eps)
+            + (1 - fl) * jnp.log(1 - out_s["predictions"] + eps),
+            axis=1,
+        )
+        topk_val, topk_idx = jax.lax.top_k(out_s["predictions"], top_k)
+        return {
+            **ls,
+            "predictions": out_s["predictions"],
+            "per_example_loss": per_example_loss,
+            "topk_val": topk_val,
+            "topk_idx": topk_idx,
+        }
+
+    return step
+
+
+def build_eval_step(cfg: TrainConfig, top_k: int = 20):
+    """Student-only eval (eval_finetune.py:108-176)."""
+
+    def step(params_student, features_u8, labels, num_frames):
+        model_input = preprocess_batch(cfg, features_u8)
+        model_input_s = uniform_subsample(model_input, cfg.every_n)
+        nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+        out_s = forward_student(cfg, params_student, model_input_s, nf_student,
+                                labels)
+        eps = 10e-6
+        fl = labels.astype(jnp.float32)
+        per_example_loss = -jnp.sum(
+            fl * jnp.log(out_s["predictions"] + eps)
+            + (1 - fl) * jnp.log(1 - out_s["predictions"] + eps),
+            axis=1,
+        )
+        topk_val, topk_idx = jax.lax.top_k(out_s["predictions"], top_k)
+        return {
+            "predictions": out_s["predictions"],
+            "per_example_loss": per_example_loss,
+            "topk_val": topk_val,
+            "topk_idx": topk_idx,
+        }
+
+    return step

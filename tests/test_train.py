@@ -1,0 +1,289 @@
+"""Train-layer tests: optimizer parity, the distillation step end-to-end
+on tiny shapes, checkpoint round-trips and conversion surgery."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from efficientvideoclassification_youtube8m_tpu.train import (
+    DistillState,
+    build_distill_train_step,
+    build_eval_step,
+    build_finetune_step,
+    build_validate_step,
+    clip_grads_per_variable,
+    exponential_decay,
+    init_distill_state,
+    latest_checkpoint,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+    student_state_from_distill,
+)
+from efficientvideoclassification_youtube8m_tpu.train.checkpoint import (
+    checkpoint_step,
+)
+from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+TINY = TrainConfig(
+    num_classes=30,
+    batch_size=4,
+    lstm_cells=8,
+    lstm_layers=2,
+    max_num_frames=40,
+    num_inputs_to_lstm=4,
+    num_inputs_L1=2,
+    every_n=2,
+    base_learning_rate=0.01,
+    learning_rate_decay_examples=1000,
+    feature_names="rgb, audio",
+    feature_sizes="6, 2",
+)
+
+
+def _tiny_batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    B = cfg.batch_size
+    feats = rng.integers(0, 256, size=(B, cfg.max_num_frames,
+                                       cfg.total_feature_size), dtype=np.uint8)
+    labels = np.zeros((B, cfg.num_classes), bool)
+    for i in range(B):
+        labels[i, rng.choice(cfg.num_classes, 3, replace=False)] = True
+    nf = rng.integers(5, cfg.max_num_frames + 1, size=B).astype(np.int32)
+    return jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(nf)
+
+
+# ---------------------------------------------------------------------------
+# optimizer semantics
+# ---------------------------------------------------------------------------
+
+def test_exponential_decay_staircase():
+    sched = exponential_decay(0.01, 256, 1000000, 0.95)
+    # step*batch < decay_examples -> no decay yet
+    np.testing.assert_allclose(float(sched(jnp.asarray(0))), 0.01)
+    np.testing.assert_allclose(float(sched(jnp.asarray(3906))), 0.01)
+    # crosses one decay boundary
+    np.testing.assert_allclose(float(sched(jnp.asarray(3907))), 0.0095)
+    np.testing.assert_allclose(float(sched(jnp.asarray(2 * 3907))), 0.01 * 0.95**2)
+
+
+def test_per_variable_clip():
+    grads = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([0.3, 0.4])}
+    clipped = clip_grads_per_variable(grads, 1.0)
+    np.testing.assert_allclose(np.asarray(clipped["a"]), [0.6, 0.8], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(clipped["b"]), [0.3, 0.4], rtol=1e-6)
+
+
+def test_tf_adam_matches_hand_math():
+    """One Adam step on a scalar: TF formula
+    lr*sqrt(1-b2)/(1-b1) * m/(sqrt(v)+eps)."""
+    opt = make_optimizer("AdamOptimizer", clip_gradient_norm=0.0)
+    params = {"w": jnp.asarray(1.0)}
+    state = opt.init(params)
+    g = 0.5
+    new_params, state = opt.update({"w": jnp.asarray(g)}, state, params, 0.01)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    m, v = (1 - b1) * g, (1 - b2) * g * g
+    lr_t = 0.01 * np.sqrt(1 - b2) / (1 - b1)
+    want = 1.0 - lr_t * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(float(new_params["w"]), want, rtol=1e-6)
+    # second step
+    g2 = -0.25
+    new_params2, state = opt.update({"w": jnp.asarray(g2)}, state,
+                                    new_params, 0.01)
+    m = b1 * m + (1 - b1) * g2
+    v = b2 * v + (1 - b2) * g2 * g2
+    lr_t = 0.01 * np.sqrt(1 - b2**2) / (1 - b1**2)
+    want2 = want - lr_t * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(float(new_params2["w"]), want2, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", [
+    "GradientDescentOptimizer", "MomentumOptimizer", "RMSPropOptimizer",
+    "AdagradOptimizer"])
+def test_other_optimizers_step(name):
+    opt = make_optimizer(name, clip_gradient_norm=1.0)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    new_params, _ = opt.update({"w": jnp.full((3,), 0.1)}, state, params, 0.1)
+    assert np.all(np.asarray(new_params["w"]) < 1.0)
+
+
+def test_unknown_optimizer():
+    with pytest.raises(ValueError):
+        make_optimizer("BogusOptimizer")
+
+
+# ---------------------------------------------------------------------------
+# distillation train step
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def distill_setup():
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    step = jax.jit(build_distill_train_step(cfg, opt, top_k=5))
+    return cfg, opt, state, step
+
+
+def test_distill_step_runs_and_counts(distill_setup):
+    cfg, opt, state, step = distill_setup
+    feats, labels, nf = _tiny_batch(cfg)
+    new_state, metrics = step(state, feats, labels, nf)
+    # faithful quirk: shared global_step advances by 2
+    assert int(new_state.global_step) == 2
+    for k in ["teacher_label_loss", "student_loss_state", "pred_loss",
+              "student_label_loss", "total_student_loss"]:
+        assert np.isfinite(float(metrics[k])), k
+    assert metrics["topk_val"].shape == (cfg.batch_size, 5)
+    # both towers actually updated
+    assert not np.allclose(
+        np.asarray(new_state.params_teacher["classifier"]["experts"]["w"]),
+        np.asarray(state.params_teacher["classifier"]["experts"]["w"]))
+    assert not np.allclose(
+        np.asarray(new_state.params_student["classifier"]["experts"]["w"]),
+        np.asarray(state.params_student["classifier"]["experts"]["w"]))
+
+
+def test_distill_losses_decrease(distill_setup):
+    cfg, opt, state, step = distill_setup
+    feats, labels, nf = _tiny_batch(cfg, seed=1)
+    first, last = None, None
+    for i in range(12):
+        state, metrics = step(state, feats, labels, nf)
+        if i == 0:
+            first = {k: float(metrics[k]) for k in
+                     ["teacher_label_loss", "student_label_loss"]}
+        last = {k: float(metrics[k]) for k in
+                ["teacher_label_loss", "student_label_loss"]}
+    # both towers' CE must fall; L_REP/L_PRED may grow early while the
+    # teacher's representation runs ahead of the student
+    assert last["teacher_label_loss"] < first["teacher_label_loss"]
+    assert last["student_label_loss"] < first["student_label_loss"]
+
+
+def test_teacher_not_updated_by_student_loss():
+    """The teacher must be unaffected by the distillation terms: training
+    with and without the student tower gives identical teacher params
+    (stop-gradient by variable partition, train.py:408-418)."""
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    feats, labels, nf = _tiny_batch(cfg, seed=2)
+
+    step = jax.jit(build_distill_train_step(cfg, opt, top_k=5))
+    new_state, _ = step(state, feats, labels, nf)
+
+    # teacher-only reference: same step with the representation/KL terms
+    # detached is what the math should reduce to for the teacher subtree
+    from efficientvideoclassification_youtube8m_tpu import losses as L
+    from efficientvideoclassification_youtube8m_tpu.train.step import (
+        forward_teacher, preprocess_batch)
+
+    def teacher_loss(params_t):
+        model_input = preprocess_batch(cfg, feats)
+        out = forward_teacher(cfg, params_t, model_input, nf, labels)
+        ll = L.get_loss(cfg.label_loss)(out["predictions"], labels)
+        return ll + cfg.regularization_penalty * out["regularization_loss"]
+
+    g_t = jax.grad(teacher_loss)(state.params_teacher)
+    lr = exponential_decay(cfg.base_learning_rate, cfg.batch_size,
+                           cfg.learning_rate_decay_examples,
+                           cfg.learning_rate_decay)(state.global_step)
+    want_pt, _ = opt.update(g_t, state.opt_teacher, state.params_teacher, lr)
+    got = np.asarray(
+        new_state.params_teacher["rnn_l1"][0]["kernel"])
+    want = np.asarray(want_pt["rnn_l1"][0]["kernel"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_quirk_toggle_changes_rep_weight():
+    cfg_f = TINY.replace(faithful_quirks=True)
+    cfg_c = TINY.replace(faithful_quirks=False)
+    opt = make_optimizer(TINY.optimizer, TINY.clip_gradient_norm)
+    state = init_distill_state(TINY, opt)
+    feats, labels, nf = _tiny_batch(TINY, seed=3)
+    _, m_f = jax.jit(build_distill_train_step(cfg_f, opt))(state, feats, labels, nf)
+    st_c, m_c = jax.jit(build_distill_train_step(cfg_c, opt))(state, feats, labels, nf)
+    lrep = float(m_f["student_loss_state"])
+    np.testing.assert_allclose(
+        float(m_f["total_student_loss"]) - float(m_c["total_student_loss"]),
+        lrep, rtol=1e-4)
+    assert int(st_c.global_step) == 1  # corrected mode counts batches
+
+
+# ---------------------------------------------------------------------------
+# finetune / validate / eval steps
+# ---------------------------------------------------------------------------
+
+def test_finetune_and_eval_steps():
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    dstate = init_distill_state(cfg, opt)
+    sstate = student_state_from_distill(dstate, opt)
+    feats, labels, nf = _tiny_batch(cfg, seed=4)
+
+    fstep = jax.jit(build_finetune_step(cfg, opt, top_k=5))
+    new_sstate, metrics = fstep(sstate, feats, labels, nf)
+    assert int(new_sstate.global_step) == 1
+    assert np.isfinite(float(metrics["student_label_loss"]))
+
+    vstep = jax.jit(build_validate_step(cfg, top_k=5))
+    vout = vstep(dstate.params_teacher, dstate.params_student, feats, labels, nf)
+    assert np.isfinite(float(vout["student_loss_state"]))
+    assert vout["per_example_loss"].shape == (cfg.batch_size,)
+
+    estep = jax.jit(build_eval_step(cfg, top_k=5))
+    eout = estep(sstate.params_student, feats, labels, nf)
+    assert eout["predictions"].shape == (cfg.batch_size, cfg.num_classes)
+    # eval step on the SAME params as validate must give the same student
+    # predictions
+    np.testing.assert_allclose(np.asarray(eout["predictions"]),
+                               np.asarray(vout["predictions"]), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# checkpointing
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_roundtrip_and_surgery(tmp_path):
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    feats, labels, nf = _tiny_batch(cfg, seed=5)
+    step = jax.jit(build_distill_train_step(cfg, opt))
+    state, _ = step(state, feats, labels, nf)
+
+    train_dir = str(tmp_path / "train")
+    p1 = save_checkpoint(train_dir, state, int(state.global_step))
+    assert latest_checkpoint(train_dir) == p1
+    assert checkpoint_step(p1) == 2
+
+    state2, _ = step(state, feats, labels, nf)
+    p2 = save_checkpoint(train_dir, state2, int(state2.global_step))
+    assert latest_checkpoint(train_dir) == p2
+    import os
+    assert not os.path.exists(p1)  # max_to_keep=1
+
+    template = init_distill_state(cfg, opt)
+    restored = restore_checkpoint(p2, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params_student, state2.params_student)
+    assert int(restored.global_step) == int(state2.global_step)
+
+    # conversion surgery: student subtree carries over, optimizer resets
+    sstate = student_state_from_distill(restored, opt)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        sstate.params_student, state2.params_student)
+    assert int(sstate.global_step) == 0
+    finetune_dir = str(tmp_path / "finetune")
+    fp = save_checkpoint(finetune_dir, sstate, 0)
+    template_s = student_state_from_distill(template, opt)
+    restored_s = restore_checkpoint(fp, template_s)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored_s.params_student, state2.params_student)
