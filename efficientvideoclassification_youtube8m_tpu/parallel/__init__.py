@@ -1,0 +1,33 @@
+from efficientvideoclassification_youtube8m_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    create_mesh,
+    make_params_specs,
+    shard_batch,
+    shard_state_specs,
+    to_named,
+)
+from efficientvideoclassification_youtube8m_tpu.parallel.sharded_step import (
+    build_sharded_distill_step,
+    build_sharded_eval_step,
+    build_sharded_finetune_step,
+    build_sharded_validate_step,
+    place_state,
+    state_sharding,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "create_mesh",
+    "make_params_specs",
+    "shard_batch",
+    "shard_state_specs",
+    "to_named",
+    "build_sharded_distill_step",
+    "build_sharded_eval_step",
+    "build_sharded_finetune_step",
+    "build_sharded_validate_step",
+    "place_state",
+    "state_sharding",
+]

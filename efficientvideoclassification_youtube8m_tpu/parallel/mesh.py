@@ -1,0 +1,125 @@
+"""Device mesh + sharding rules.
+
+Replaces the reference's vestigial TF1 ps/worker scaffolding
+(`/root/reference/code_student_uniform/train.py:654-699`, bypassed by
+its own authors at train.py:477-479) with first-class SPMD:
+
+  * mesh axes ("data", "model") over ICI;
+  * batch sharded over "data" (pure DP is the workload's natural
+    parallelism — and because the hierarchical model folds its 20 L1
+    chunks into the batch axis, DP over batch IS sequence-block
+    parallelism for L1);
+  * the MoE classifier's wide matmuls ([state, vocab*(m+1)] ~ 58M params)
+    column-sharded over "model" (Megatron-style tensor parallelism);
+    XLA/GSPMD inserts the collectives;
+  * optimizer state shards like its parameters; everything else
+    replicates.
+
+No parameter server: optimizer state is replicated/sharded with the
+params and gradients are reduced by XLA's psum over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh. With `data=None`, all remaining
+    devices go to the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _is_tp_shardable(path_leaf_name: str, x, model_size: int, min_dim: int) -> bool:
+    if not hasattr(x, "ndim"):
+        return False
+    if x.ndim == 0:
+        return False
+    d = x.shape[-1]
+    return d >= min_dim and d % model_size == 0
+
+
+def make_params_specs(params: Any, model_size: int, min_dim: int = 4096) -> Any:
+    """PartitionSpec tree for a params pytree.
+
+    Rule: 2-D kernels and their 1-D biases whose LAST dim is wide
+    (>= min_dim) and divisible by the model axis are column-sharded over
+    "model" (covers the MoE gates [state, V*(m+1)] and experts
+    [state, V*m]); everything else — LSTM kernels, hidden layers —
+    replicates. With model_size == 1 everything replicates.
+    """
+
+    def spec(x):
+        if model_size > 1 and _is_tp_shardable("", x, model_size, min_dim):
+            if x.ndim == 1:
+                return P(MODEL_AXIS)
+            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+        return P()
+
+    return jax.tree.map(spec, params)
+
+
+def make_batch_specs(ndim_map: dict) -> dict:
+    """PartitionSpecs for batch arrays: leading axis over "data"."""
+    return {
+        k: P(DATA_AXIS, *([None] * (nd - 1))) for k, nd in ndim_map.items()
+    }
+
+
+def shard_state_specs(state: Any, model_size: int, min_dim: int = 4096) -> Any:
+    """Specs for a DistillState/StudentState: params + matching optimizer
+    slots sharded, counters replicated."""
+
+    def spec(x):
+        if (
+            model_size > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 1
+            and _is_tp_shardable("", x, model_size, min_dim)
+        ):
+            if x.ndim == 1:
+                return P(MODEL_AXIS)
+            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+        return P()
+
+    return jax.tree.map(spec, state)
+
+
+def to_named(tree_of_specs: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        tree_of_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_batch(mesh: Mesh, features, labels, num_frames):
+    """Place host batch arrays sharded over the data axis."""
+    fs = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    ls = NamedSharding(mesh, P(DATA_AXIS, None))
+    ns = NamedSharding(mesh, P(DATA_AXIS))
+    return (
+        jax.device_put(features, fs),
+        jax.device_put(labels, ls),
+        jax.device_put(num_frames, ns),
+    )

@@ -1,0 +1,121 @@
+"""Sharded (pjit) wrappers around the train/eval steps.
+
+One `jit` with explicit in/out shardings over the ("data", "model") mesh:
+GSPMD partitions the program — batch math over "data", the MoE head's
+wide matmuls over "model" — and inserts the gradient psums over ICI.
+State buffers are donated so optimizer updates are in-place.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from efficientvideoclassification_youtube8m_tpu.parallel.mesh import (
+    DATA_AXIS,
+    Mesh,
+    shard_state_specs,
+    to_named,
+)
+from efficientvideoclassification_youtube8m_tpu.train.optimizer import Optimizer
+from efficientvideoclassification_youtube8m_tpu.train.step import (
+    build_distill_train_step,
+    build_eval_step,
+    build_finetune_step,
+    build_validate_step,
+)
+from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+
+def _batch_shardings(mesh: Mesh):
+    fs = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    ls = NamedSharding(mesh, P(DATA_AXIS, None))
+    ns = NamedSharding(mesh, P(DATA_AXIS))
+    return fs, ls, ns
+
+
+def state_sharding(state: Any, mesh: Mesh, min_dim: int = 4096):
+    model_size = mesh.shape.get("model", 1)
+    return to_named(shard_state_specs(state, model_size, min_dim), mesh)
+
+
+def place_state(state: Any, mesh: Mesh, min_dim: int = 4096):
+    """Device-put a host state pytree with its sharding."""
+    return jax.device_put(state, state_sharding(state, mesh, min_dim))
+
+
+def build_sharded_distill_step(
+    cfg: TrainConfig,
+    optimizer: Optimizer,
+    mesh: Mesh,
+    state_template: Any,
+    top_k: int = 20,
+    min_dim: int = 4096,
+):
+    """jit-compiled distillation step with explicit shardings + donation."""
+    step = build_distill_train_step(cfg, optimizer, top_k)
+    st_shard = state_sharding(state_template, mesh, min_dim)
+    fs, ls, ns = _batch_shardings(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(st_shard, fs, ls, ns),
+        out_shardings=(st_shard, None),
+        donate_argnums=(0,),
+    )
+
+
+def build_sharded_finetune_step(
+    cfg: TrainConfig,
+    optimizer: Optimizer,
+    mesh: Mesh,
+    state_template: Any,
+    top_k: int = 20,
+    min_dim: int = 4096,
+):
+    step = build_finetune_step(cfg, optimizer, top_k)
+    st_shard = state_sharding(state_template, mesh, min_dim)
+    fs, ls, ns = _batch_shardings(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(st_shard, fs, ls, ns),
+        out_shardings=(st_shard, None),
+        donate_argnums=(0,),
+    )
+
+
+def build_sharded_validate_step(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    params_teacher_template: Any,
+    params_student_template: Any,
+    top_k: int = 20,
+    min_dim: int = 4096,
+):
+    step = build_validate_step(cfg, top_k)
+    model_size = mesh.shape.get("model", 1)
+    pt_shard = to_named(
+        shard_state_specs(params_teacher_template, model_size, min_dim), mesh
+    )
+    ps_shard = to_named(
+        shard_state_specs(params_student_template, model_size, min_dim), mesh
+    )
+    fs, ls, ns = _batch_shardings(mesh)
+    return jax.jit(step, in_shardings=(pt_shard, ps_shard, fs, ls, ns))
+
+
+def build_sharded_eval_step(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    params_student_template: Any,
+    top_k: int = 20,
+    min_dim: int = 4096,
+):
+    step = build_eval_step(cfg, top_k)
+    model_size = mesh.shape.get("model", 1)
+    ps_shard = to_named(
+        shard_state_specs(params_student_template, model_size, min_dim), mesh
+    )
+    fs, ls, ns = _batch_shardings(mesh)
+    return jax.jit(step, in_shardings=(ps_shard, fs, ls, ns))

@@ -1,0 +1,140 @@
+"""Sharding tests on the 8-device virtual CPU mesh: DP-only, DP x TP, and
+parity of sharded vs single-device results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from efficientvideoclassification_youtube8m_tpu.parallel import (
+    build_sharded_distill_step,
+    build_sharded_eval_step,
+    create_mesh,
+    place_state,
+    shard_batch,
+    shard_state_specs,
+)
+from efficientvideoclassification_youtube8m_tpu.train import (
+    build_distill_train_step,
+    init_distill_state,
+    make_optimizer,
+    student_state_from_distill,
+)
+from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+CFG = TrainConfig(
+    num_classes=32,
+    batch_size=8,
+    lstm_cells=8,
+    lstm_layers=2,
+    max_num_frames=40,
+    num_inputs_to_lstm=4,
+    num_inputs_L1=2,
+    every_n=2,
+    feature_names="rgb, audio",
+    feature_sizes="6, 2",
+)
+
+
+def _batch(cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    B = cfg.batch_size
+    feats = rng.integers(0, 256, size=(B, cfg.max_num_frames,
+                                       cfg.total_feature_size), dtype=np.uint8)
+    labels = np.zeros((B, cfg.num_classes), bool)
+    for i in range(B):
+        labels[i, rng.choice(cfg.num_classes, 3, replace=False)] = True
+    nf = rng.integers(5, cfg.max_num_frames + 1, size=B).astype(np.int32)
+    return feats, labels, nf
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = create_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = create_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        create_mesh(data=3, model=2)
+
+
+def test_tp_spec_rule():
+    """Wide last-dim arrays shard over model; small ones replicate."""
+    params = {
+        "moe_gates": jnp.zeros((16, 4096)),
+        "lstm_kernel": jnp.zeros((24, 32)),
+        "bias": jnp.zeros((4096,)),
+        "scalar": jnp.zeros(()),
+    }
+    specs = shard_state_specs(params, model_size=2, min_dim=4096)
+    assert specs["moe_gates"] == P(None, "model")
+    assert specs["lstm_kernel"] == P()
+    assert specs["bias"] == P("model")
+    assert specs["scalar"] == P()
+    # model_size=1 -> fully replicated
+    specs1 = shard_state_specs(params, model_size=1)
+    assert all(s == P() for s in jax.tree.leaves(specs1,
+                                                 is_leaf=lambda x: isinstance(x, P)))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_distill_step_matches_single_device(mesh_shape):
+    """The sharded step must produce the same losses and state as the
+    unsharded single-device step."""
+    data, model = mesh_shape
+    cfg = CFG
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state_host = init_distill_state(cfg, opt)
+    feats, labels, nf = _batch(cfg)
+
+    # single-device baseline
+    base_step = jax.jit(build_distill_train_step(cfg, opt, top_k=5))
+    base_state, base_metrics = base_step(
+        state_host, jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(nf))
+
+    mesh = create_mesh(data=data, model=model)
+    # min_dim tiny so the 32-class MoE head actually gets TP-sharded
+    min_dim = 32 if model > 1 else 4096
+    state = place_state(state_host, mesh, min_dim=min_dim)
+    step = build_sharded_distill_step(cfg, opt, mesh, state_host, top_k=5,
+                                      min_dim=min_dim)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+    new_state, metrics = step(state, f, l, n)
+
+    for k in ["teacher_label_loss", "student_loss_state", "pred_loss",
+              "student_label_loss", "total_student_loss"]:
+        np.testing.assert_allclose(float(metrics[k]), float(base_metrics[k]),
+                                   rtol=2e-4, err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(new_state.params_teacher["rnn_l1"][0]["kernel"])),
+        np.asarray(base_state.params_teacher["rnn_l1"][0]["kernel"]),
+        rtol=1e-4, atol=1e-6)
+    assert int(new_state.global_step) == 2
+
+
+def test_tp_actually_shards_moe(capsys):
+    cfg = CFG
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state_host = init_distill_state(cfg, opt)
+    mesh = create_mesh(data=4, model=2)
+    state = place_state(state_host, mesh, min_dim=32)
+    w = state.params_teacher["classifier"]["gates"]["w"]
+    # vocab*(m+1) = 96 columns split over 2 model shards -> 48 each
+    shard_shapes = {s.data.shape for s in w.addressable_shards}
+    assert shard_shapes == {(w.shape[0], w.shape[1] // 2)}
+
+
+def test_sharded_eval_step():
+    cfg = CFG
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    dstate = init_distill_state(cfg, opt)
+    sstate = student_state_from_distill(dstate, opt)
+    mesh = create_mesh()
+    feats, labels, nf = _batch(cfg, seed=1)
+    step = build_sharded_eval_step(cfg, mesh, sstate.params_student, top_k=5)
+    params = jax.device_put(sstate.params_student)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+    out = step(params, f, l, n)
+    assert out["predictions"].shape == (cfg.batch_size, cfg.num_classes)
+    assert np.all(np.isfinite(np.asarray(out["per_example_loss"])))
