@@ -1,0 +1,106 @@
+"""Benchmark: teacher+student distillation training throughput on one chip.
+
+Measures the flagship workload — the reference's `run_train.sh`
+configuration (HierarchicalLstmModel 2x1024, MoE head, 4716 classes,
+batch 256, 300-frame videos, every_n=10 student) — as steady-state
+videos/sec for the full jitted train step (both towers fwd+bwd + both
+Adam updates).
+
+Baseline: the reference's logged TF1.3 run peaks at ~4.3 videos/sec
+(global_step/sec 0.0167 x batch 256, /root/reference/README.md:113-123;
+BASELINE.md). vs_baseline is the speedup over that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Persistent compilation cache: the flagship program takes minutes to
+# compile via the remote TPU toolchain; cache it across bench runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+
+BASELINE_VIDEOS_PER_SEC = 4.3
+
+
+def run(batch_size: int, compute_dtype: str):
+    import jax
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_sharded_distill_step,
+        create_mesh,
+        place_state,
+        shard_batch,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        init_distill_state,
+        make_optimizer,
+    )
+    from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=batch_size, compute_dtype=compute_dtype)
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state_host = init_distill_state(cfg, opt)
+    mesh = create_mesh()  # all local devices on the data axis
+    state = place_state(state_host, mesh)
+    step = build_sharded_distill_step(cfg, opt, mesh, state_host, top_k=cfg.top_k)
+
+    rng = np.random.default_rng(0)
+    B = cfg.batch_size
+    feats = rng.integers(
+        0, 256, size=(B, cfg.max_num_frames, cfg.total_feature_size), dtype=np.uint8
+    )
+    labels = np.zeros((B, cfg.num_classes), bool)
+    for i in range(B):
+        labels[i, rng.choice(cfg.num_classes, 4, replace=False)] = True
+    nf = rng.integers(30, cfg.max_num_frames + 1, size=B).astype(np.int32)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+
+    # warmup / compile. NOTE: sync via a value fetch — block_until_ready
+    # is unreliable through remote-relay PJRT backends.
+    state, metrics = step(state, f, l, n)
+    float(metrics["teacher_label_loss"])
+
+    def timed_window(iters: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, f, l, n)
+        float(metrics["teacher_label_loss"])  # hard sync
+        return (time.perf_counter() - t0) / iters
+
+    timed_window(2)  # settle
+    per_step = min(timed_window(10) for _ in range(3))
+    return B / per_step
+
+
+def main():
+    videos_per_sec = None
+    for batch, dtype in [(256, "bfloat16"), (128, "bfloat16"), (64, "float32")]:
+        try:
+            videos_per_sec = run(batch, dtype)
+            break
+        except Exception as e:  # OOM etc. -> try smaller
+            print(f"bench config (batch={batch}, {dtype}) failed: {e}",
+                  file=sys.stderr)
+    if videos_per_sec is None:
+        print(json.dumps({"metric": "train_videos_per_sec_per_chip", "value": 0,
+                          "unit": "videos/s", "vs_baseline": 0}))
+        sys.exit(1)
+    print(json.dumps({
+        "metric": "train_videos_per_sec_per_chip",
+        "value": round(videos_per_sec, 2),
+        "unit": "videos/s",
+        "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

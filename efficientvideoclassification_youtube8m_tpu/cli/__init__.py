@@ -1,0 +1,12 @@
+"""Entry-point binaries mirroring the reference's five-binary pipeline:
+
+  train     -> train.py              (teacher+student distillation)
+  validate  -> validate.py           (student eval with teacher present)
+  convert   -> train_convert_model.py (checkpoint surgery)
+  finetune  -> train_finetune.py     (student-only training)
+  eval      -> eval_finetune.py      (student-only eval)
+  infer     -> inference_*.py        (CSV inference, bias rescaling)
+  inference_ensemble, max_ensemble, inspect_checkpoint, hash_check
+
+Run as `python -m efficientvideoclassification_youtube8m_tpu.cli.<name>`.
+"""

@@ -1,0 +1,127 @@
+"""Student-only finetuner.
+
+Rebuild of `/root/reference/code_student_uniform/train_finetune.py`:
+standard single-tower training of the student (CE + reg) resuming from
+the converted checkpoint in `train_dir` (which for this binary is the
+finetune directory, per run_finetune.sh).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
+from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.metrics import EvaluationMetrics
+from efficientvideoclassification_youtube8m_tpu.train import (
+    init_distill_state,
+    latest_checkpoint,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+    student_state_from_distill,
+)
+from efficientvideoclassification_youtube8m_tpu.utils import summary as summary_lib
+
+logger = logging.getLogger("finetune")
+
+
+def finetune(args):
+    import jax
+
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_sharded_finetune_step,
+        create_mesh,
+        place_state,
+        shard_batch,
+    )
+
+    cfg = flags_lib.config_from_args(args)
+    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    template = student_state_from_distill(
+        init_distill_state(cfg, optimizer), optimizer
+    )
+
+    ckpt = latest_checkpoint(cfg.train_dir)
+    if ckpt is None:
+        raise IOError(
+            f"no converted checkpoint in {cfg.train_dir}; run convert first"
+        )
+    logger.info("Resuming student from %s", ckpt)
+    state = restore_checkpoint(ckpt, template)
+    logger.info("Trainable Parameters of Student:")
+    logger.info("%s", flags_lib.param_names(state.params_student, "model_student"))
+
+    mesh = create_mesh(model=args.model_parallelism)
+    step_fn = build_sharded_finetune_step(
+        cfg, optimizer, mesh, state, top_k=args.top_k
+    )
+    state = place_state(state, mesh)
+
+    loader = FrameDataLoader(
+        cfg.train_data_pattern,
+        batch_size=cfg.batch_size,
+        feature_names=cfg.feature_names_list,
+        feature_sizes=cfg.feature_sizes_list,
+        max_frames=cfg.max_num_frames,
+        vocab_size=cfg.num_classes,
+        num_readers=cfg.num_readers,
+        num_epochs=cfg.num_epochs,
+        shuffle=True,
+        seed=cfg.seed,
+        pad_final_batch=True,
+        use_native=cfg.use_native_io,
+    )
+    writer = summary_lib.SummaryWriter(cfg.train_dir)
+    last_save = time.time()
+    start_time = time.time()
+    logger.info("Entering training loop.")
+    for batch in loader:
+        batch_start_time = time.time()
+        f, l, n = shard_batch(mesh, batch.features, batch.labels,
+                              batch.num_frames)
+        state, metrics = step_fn(state, f, l, n)
+        topk_val = np.asarray(metrics["topk_val"])
+        topk_idx = np.asarray(metrics["topk_idx"])
+        global_step_val = int(metrics["global_step"])
+        seconds_per_batch = time.time() - batch_start_time
+        examples_per_second = batch.labels.shape[0] / seconds_per_batch
+
+        em = EvaluationMetrics(cfg.num_classes, args.top_k)
+        info = em.accumulate_topk(topk_val, topk_idx, batch.labels,
+                                  np.zeros(batch.labels.shape[0]))
+        gap = em.get()["gap"]
+        logger.info(
+            "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| L_CE: %s",
+            global_step_val, info["hit_at_one"], info["perr"], gap,
+            round(float(metrics["student_label_loss"]), 2),
+        )
+        writer.scalar("model/Training_Hit@1", info["hit_at_one"], global_step_val)
+        writer.scalar("model/Training_Perr", info["perr"], global_step_val)
+        writer.scalar("model/Training_GAP", gap, global_step_val)
+        writer.scalar("global_step/Examples/Second", examples_per_second,
+                      global_step_val)
+        writer.flush()
+        if time.time() - last_save > args.save_model_secs:
+            save_checkpoint(cfg.train_dir, state, global_step_val)
+            last_save = time.time()
+    logger.info("Done training -- epoch limit reached.")
+    save_checkpoint(cfg.train_dir, state, int(jax.device_get(state.global_step)))
+    writer.close()
+    print("Total time taken is " + str(time.time() - start_time))
+
+
+def main(argv=None):
+    flags_lib.setup_logging()
+    parser = flags_lib.base_parser("Finetune the student alone (TPU)")
+    args = parser.parse_args(argv)
+    flags_lib.dump_flags(args, logger)
+    finetune(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

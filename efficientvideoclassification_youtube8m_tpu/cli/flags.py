@@ -1,0 +1,116 @@
+"""argparse plumbing mirroring the reference's tf.flags surface.
+
+Flag names/defaults match the union of the per-binary DEFINE_* blocks
+(`/root/reference/code_student_uniform/train.py:27-99`,
+`frame_level_models.py:16-47`, `video_level_models.py:14-19`; SURVEY.md
+§2.4), so reference invocations (e.g. run_train.sh) port 1:1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import List, Optional
+
+from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+
+def _bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "t", "yes", "y")
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    # dataset / model
+    p.add_argument("--train_dir", default="./tmp/model/")
+    p.add_argument("--train_data_pattern", default="")
+    p.add_argument("--eval_data_pattern", default="")
+    p.add_argument("--input_data_pattern", default="")
+    p.add_argument("--feature_names", default="rgb, audio")
+    p.add_argument("--feature_sizes", default="1024, 128")
+    p.add_argument("--frame_features", type=_bool, default=True)
+    p.add_argument("--model", default="HierarchicalLstmModel")
+    p.add_argument("--start_new_model", type=_bool, default=False,
+                   nargs="?", const=True)
+    p.add_argument("--num_classes", type=int, default=4716)
+    p.add_argument("--bagging", type=_bool, default=False)
+    # training
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--every_n", type=int, default=10)
+    p.add_argument("--label_loss", default="CrossEntropyLoss")
+    p.add_argument("--dropout", type=float, default=1.0)
+    p.add_argument("--regularization_penalty", type=float, default=1.0)
+    p.add_argument("--base_learning_rate", type=float, default=0.001)
+    p.add_argument("--learning_rate_decay", type=float, default=0.95)
+    p.add_argument("--learning_rate_decay_examples", type=float, default=4000000)
+    p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--num_readers", type=int, default=4)
+    p.add_argument("--optimizer", default="AdamOptimizer")
+    p.add_argument("--clip_gradient_norm", type=float, default=1.0)
+    p.add_argument("--log_device_placement", type=_bool, default=False)
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for flag parity; devices come from JAX")
+    # model hyperparameters
+    p.add_argument("--lstm_cells", type=int, default=1024)
+    p.add_argument("--lstm_layers", type=int, default=2)
+    p.add_argument("--max_num_frames", type=int, default=300)
+    p.add_argument("--num_inputs_to_lstm", type=int, default=20)
+    p.add_argument("--num_inputs_L1", type=int, default=5)
+    p.add_argument("--video_level_classifier_model", default="MoeModel")
+    p.add_argument("--moe_num_mixtures", type=int, default=2)
+    p.add_argument("--num_hidden_units", type=int, default=1024)
+    p.add_argument("--iterations", type=int, default=30)
+    p.add_argument("--dbof_cluster_size", type=int, default=8192)
+    p.add_argument("--dbof_hidden_size", type=int, default=1024)
+    p.add_argument("--dbof_pooling_method", default="max")
+    p.add_argument("--dbof_add_batch_norm", type=_bool, default=True)
+    p.add_argument("--sample_random_frames", type=_bool, default=True)
+    # eval / inference
+    p.add_argument("--top_k", type=int, default=20)
+    p.add_argument("--run_once", type=_bool, default=False,
+                   nargs="?", const=True)
+    # rebuild-specific
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--faithful_quirks", type=_bool, default=True)
+    p.add_argument("--model_parallelism", type=int, default=1,
+                   help="size of the 'model' mesh axis (tensor parallelism)")
+    p.add_argument("--save_model_secs", type=int, default=30 * 60)
+    p.add_argument("--use_native_io", type=_bool, default=True)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    cfg_fields = TrainConfig.__dataclass_fields__
+    kw = {k: v for k, v in vars(args).items() if k in cfg_fields}
+    return TrainConfig(**kw)
+
+
+def dump_flags(args: argparse.Namespace, logger: Optional[logging.Logger] = None):
+    """The reference dumps all FLAGS at startup (train.py:705-707)."""
+    log = (logger or logging.getLogger()).info
+    for key in sorted(vars(args)):
+        log("%s: %s", key, getattr(args, key))
+
+
+def setup_logging():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(levelname)s:%(name)s:%(asctime)s: %(message)s",
+    )
+
+
+def param_names(params, prefix: str) -> List[str]:
+    """Flattened parameter path list — the rebuild's version of the
+    reference's trainable-variable name dump (train.py:326-328)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = []
+    for path, leaf in flat:
+        name = prefix + "/" + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        names.append(f"{name}:{list(leaf.shape)}")
+    return names

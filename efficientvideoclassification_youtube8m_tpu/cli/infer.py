@@ -1,0 +1,134 @@
+"""Inference: student checkpoint -> Kaggle CSV.
+
+The core of the reference's inference binaries
+(`inference_ensemble.py:113-204` minus the ensemble feed): stream test
+shards, run the model, write `VideoId,LabelConfidencePairs` top-k rows.
+
+--alpha_bias/--tensor_name reproduce `inference_bias.py:129,158-168`:
+before running, the named bias parameter b is replaced by
+`b/alpha + mean(b - b/alpha)`.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
+from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.ensemble import (
+    format_lines,
+    write_predictions_csv,
+)
+from efficientvideoclassification_youtube8m_tpu.train import (
+    init_distill_state,
+    latest_checkpoint,
+    make_optimizer,
+    restore_checkpoint,
+    student_state_from_distill,
+)
+
+logger = logging.getLogger("infer")
+
+
+def rescale_bias_param(params, tensor_path: str, alpha: float):
+    """new = old/alpha + mean(old - old/alpha) (inference_bias.py:158-161),
+    addressed by a '/'-joined path into the params pytree."""
+    keys = [k for k in tensor_path.split("/") if k]
+    node = params
+    for k in keys[:-1]:
+        node = node[int(k)] if isinstance(node, (list, tuple)) else node[k]
+    leaf_key = keys[-1]
+    old = np.asarray(node[int(leaf_key)] if isinstance(node, (list, tuple))
+                     else node[leaf_key])
+    scaled = old / alpha
+    new = scaled + np.mean(old - scaled)
+    import jax.numpy as jnp
+
+    if isinstance(node, (list, tuple)):
+        node[int(leaf_key)] = jnp.asarray(new)
+    else:
+        node[leaf_key] = jnp.asarray(new)
+    return params
+
+
+def inference(args):
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_sharded_eval_step,
+        create_mesh,
+        shard_batch,
+    )
+
+    cfg = flags_lib.config_from_args(args)
+    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    template = student_state_from_distill(
+        init_distill_state(cfg, optimizer), optimizer
+    )
+    ckpt = latest_checkpoint(cfg.train_dir)
+    if ckpt is None:
+        raise IOError(f"unable to find a checkpoint at location: {cfg.train_dir}")
+    logger.info("restoring variables from %s", ckpt)
+    state = restore_checkpoint(ckpt, template)
+    params = state.params_student
+    if args.tensor_name:
+        logger.info("rescaling bias %s by alpha=%s", args.tensor_name,
+                    args.alpha_bias)
+        params = rescale_bias_param(params, args.tensor_name, args.alpha_bias)
+
+    mesh = create_mesh(model=args.model_parallelism)
+    step_fn = build_sharded_eval_step(cfg, mesh, params, top_k=args.top_k)
+
+    loader = FrameDataLoader(
+        args.input_data_pattern,
+        batch_size=cfg.batch_size,
+        feature_names=cfg.feature_names_list,
+        feature_sizes=cfg.feature_sizes_list,
+        max_frames=cfg.max_num_frames,
+        vocab_size=cfg.num_classes,
+        num_readers=cfg.num_readers,
+        num_epochs=1,
+        shuffle=False,
+        pad_final_batch=True,
+        use_native=cfg.use_native_io,
+    )
+
+    def rows():
+        num_examples_processed = 0
+        start_time = time.time()
+        dummy_labels = np.zeros((cfg.batch_size, cfg.num_classes), bool)
+        for batch in loader:
+            f, l, n = shard_batch(mesh, batch.features, dummy_labels,
+                                  batch.num_frames)
+            out = step_fn(params, f, l, n)
+            valid = len(batch.video_ids) - batch.pad
+            preds = np.asarray(out["predictions"])[:valid]
+            num_examples_processed += valid
+            logger.info(
+                "num examples processed: %d elapsed seconds: %.2f",
+                num_examples_processed, time.time() - start_time,
+            )
+            yield from format_lines(batch.video_ids[:valid], preds, args.top_k)
+
+    write_predictions_csv(args.output_file, rows())
+    logger.info("Done with inference. The output file was written to %s",
+                args.output_file)
+
+
+def main(argv=None):
+    flags_lib.setup_logging()
+    parser = flags_lib.base_parser("Inference: checkpoint -> Kaggle CSV")
+    parser.add_argument("--output_file", required=True)
+    parser.add_argument("--tensor_name", default="",
+                        help="params path for bias rescaling, e.g. "
+                        "classifier/experts/b")
+    parser.add_argument("--alpha_bias", type=float, default=1.0)
+    args = parser.parse_args(argv)
+    flags_lib.dump_flags(args, logger)
+    inference(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,120 @@
+"""Ensemble inference: learned ensemble head over K prior prediction CSVs.
+
+Rebuild of `/root/reference/code_student_uniform/inference_ensemble.py`:
+streams test videos, assembles `old_predictions` [B, K, 4716] from K
+sorted prediction CSVs keyed by video id (:155-191), runs an ensemble
+head (video_level.py ensemble classes) on video-level features +
+old_predictions, writes the Kaggle CSV.
+
+The head checkpoint is a msgpack {"model": name, "params": pytree,
+"input_size": int} written by cli/train_ensemble.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+import numpy as np
+
+import flax.serialization
+
+from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
+from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.ensemble import (
+    format_lines,
+    load_old_predictions,
+    write_predictions_csv,
+)
+from efficientvideoclassification_youtube8m_tpu.models import get_model
+from efficientvideoclassification_youtube8m_tpu.train.step import preprocess_batch
+
+logger = logging.getLogger("inference_ensemble")
+
+
+def load_head(path: str):
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    return raw["model"], raw["params"], int(raw["input_size"])
+
+
+def inference(args):
+    import jax
+    import jax.numpy as jnp
+
+    cfg = flags_lib.config_from_args(args)
+    head_name, head_params, head_input = load_head(args.head_checkpoint)
+    head = get_model(head_name)
+    logger.info("ensemble head: %s (input %d)", head_name, head_input)
+
+    @jax.jit
+    def run_head(params, features_u8, old_predictions):
+        # mean-pool the frame features into a video-level input
+        model_input = preprocess_batch(cfg, features_u8).mean(axis=1)
+        out = head.apply(
+            params,
+            model_input,
+            vocab_size=params_vocab,
+            old_predictions=old_predictions,
+        )
+        return out["predictions"]
+
+    loader = FrameDataLoader(
+        args.input_data_pattern,
+        batch_size=cfg.batch_size,
+        feature_names=cfg.feature_names_list,
+        feature_sizes=cfg.feature_sizes_list,
+        max_frames=cfg.max_num_frames,
+        vocab_size=cfg.num_classes,
+        num_readers=cfg.num_readers,
+        num_epochs=1,
+        shuffle=False,
+        pad_final_batch=True,
+        use_native=cfg.use_native_io,
+    )
+
+    # the head's "vocab_size" is K for the weight-over-models heads
+    import glob as globlib
+
+    params_vocab = len(sorted(globlib.glob(args.preds_pattern)))
+
+    def rows():
+        num_examples_processed = 0
+        start_time = time.time()
+        for batch in loader:
+            valid = len(batch.video_ids) - batch.pad
+            old = load_old_predictions(
+                args.preds_pattern, batch.video_ids[:valid], cfg.num_classes
+            )
+            if batch.pad:
+                old = np.concatenate(
+                    [old, np.zeros((batch.pad,) + old.shape[1:], old.dtype)]
+                )
+            preds = np.asarray(
+                run_head(head_params, jnp.asarray(batch.features),
+                         jnp.asarray(old))
+            )[:valid]
+            num_examples_processed += valid
+            logger.info("num examples processed: %d elapsed seconds: %.2f",
+                        num_examples_processed, time.time() - start_time)
+            yield from format_lines(batch.video_ids[:valid], preds, args.top_k)
+
+    write_predictions_csv(args.output_file, rows())
+    logger.info("Done with inference. The output file was written to %s",
+                args.output_file)
+
+
+def main(argv=None):
+    flags_lib.setup_logging()
+    parser = flags_lib.base_parser("Ensemble inference over prior CSVs")
+    parser.add_argument("--output_file", required=True)
+    parser.add_argument("--preds_pattern", required=True)
+    parser.add_argument("--head_checkpoint", required=True)
+    args = parser.parse_args(argv)
+    flags_lib.dump_flags(args, logger)
+    inference(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

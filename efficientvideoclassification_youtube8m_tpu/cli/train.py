@@ -1,0 +1,141 @@
+"""Parallel teacher+student distillation trainer.
+
+The rebuild of `/root/reference/code_student_uniform/train.py`: same
+flags, same log-line format, same summary tags
+("model/Training_Hit@1|Perr|GAP", "global_step/Examples/Second",
+train.py:528-545), same checkpoint cadence (save_model_secs=30min,
+max_to_keep=1) and resume-from-latest behavior — on a JAX device mesh
+instead of a TF1 Supervisor session.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
+from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.metrics import EvaluationMetrics
+from efficientvideoclassification_youtube8m_tpu.train import (
+    init_distill_state,
+    latest_checkpoint,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from efficientvideoclassification_youtube8m_tpu.utils import summary as summary_lib
+
+logger = logging.getLogger("train")
+
+
+def train(args) -> None:
+    import jax
+
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_sharded_distill_step,
+        create_mesh,
+        place_state,
+        shard_batch,
+    )
+
+    cfg = flags_lib.config_from_args(args)
+    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, optimizer)
+
+    logger.info("Trainable Parameters of Teacher:")
+    logger.info("%s", flags_lib.param_names(state.params_teacher, "model"))
+    logger.info("Trainable Parameters of Student:")
+    logger.info("%s", flags_lib.param_names(state.params_student, "model_student"))
+
+    ckpt = None if args.start_new_model else latest_checkpoint(cfg.train_dir)
+    if ckpt:
+        logger.info("Restoring from %s", ckpt)
+        state = restore_checkpoint(ckpt, state)
+
+    mesh = create_mesh(model=args.model_parallelism)
+    logger.info("Device mesh: %s", dict(mesh.shape))
+    step_fn = build_sharded_distill_step(
+        cfg, optimizer, mesh, state, top_k=args.top_k
+    )
+    state = place_state(state, mesh)
+
+    loader = FrameDataLoader(
+        cfg.train_data_pattern,
+        batch_size=cfg.batch_size,
+        feature_names=cfg.feature_names_list,
+        feature_sizes=cfg.feature_sizes_list,
+        max_frames=cfg.max_num_frames,
+        vocab_size=cfg.num_classes,
+        num_readers=cfg.num_readers,
+        num_epochs=cfg.num_epochs,
+        shuffle=True,
+        seed=cfg.seed,
+        pad_final_batch=True,  # static shapes for XLA
+        use_native=cfg.use_native_io,
+    )
+
+    writer = summary_lib.SummaryWriter(cfg.train_dir)
+    start_time = time.time()
+    last_save = time.time()
+    logger.info("Entering training loop.")
+    try:
+        for batch in loader:
+            batch_start_time = time.time()
+            f, l, n = shard_batch(mesh, batch.features, batch.labels,
+                                  batch.num_frames)
+            state, metrics = step_fn(state, f, l, n)
+
+            # host-side metrics from the device top-k (equivalent to the
+            # reference's full-matrix numpy path for <=top_k labels/video)
+            topk_val = np.asarray(metrics["topk_val"])
+            topk_idx = np.asarray(metrics["topk_idx"])
+            global_step_val = int(metrics["global_step"])
+            seconds_per_batch = time.time() - batch_start_time
+            examples_per_second = batch.labels.shape[0] / seconds_per_batch
+
+            em = EvaluationMetrics(cfg.num_classes, args.top_k)
+            info = em.accumulate_topk(topk_val, topk_idx, batch.labels,
+                                      np.zeros(batch.labels.shape[0]))
+            gap = em.get()["gap"]
+            loss_val = float(metrics["teacher_label_loss"])
+            logger.info(
+                "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| "
+                "Teacher_Loss: %s| L_REP: %s| L_PRED: %s| L_CE: %s",
+                global_step_val, info["hit_at_one"], info["perr"], gap,
+                round(loss_val, 2),
+                round(float(metrics["student_loss_state"]), 2),
+                round(float(metrics["pred_loss"]), 2),
+                round(float(metrics["student_label_loss"]), 2),
+            )
+            writer.scalar("model/Training_Hit@1", info["hit_at_one"],
+                          global_step_val)
+            writer.scalar("model/Training_Perr", info["perr"], global_step_val)
+            writer.scalar("model/Training_GAP", gap, global_step_val)
+            writer.scalar("global_step/Examples/Second", examples_per_second,
+                          global_step_val)
+            writer.flush()
+
+            if time.time() - last_save > args.save_model_secs:
+                save_checkpoint(cfg.train_dir, state, global_step_val)
+                last_save = time.time()
+    except KeyboardInterrupt:
+        logger.info("Interrupted; saving checkpoint.")
+    logger.info("Done training -- epoch limit reached.")
+    save_checkpoint(cfg.train_dir, state, int(jax.device_get(state.global_step)))
+    writer.close()
+    print("Total time taken is " + str(time.time() - start_time))
+
+
+def main(argv=None):
+    flags_lib.setup_logging()
+    parser = flags_lib.base_parser("Train teacher+student on YT8M (TPU)")
+    args = parser.parse_args(argv)
+    flags_lib.dump_flags(args, logger)
+    train(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,127 @@
+"""Student validator (teacher tower present for L_REP).
+
+Rebuild of `/root/reference/code_student_uniform/validate.py`: evaluates
+the STUDENT on validation shards while also running the teacher to
+report the representation loss; loops waiting for new checkpoints unless
+--run_once.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
+from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.metrics import EvaluationMetrics
+from efficientvideoclassification_youtube8m_tpu.train import (
+    init_distill_state,
+    latest_checkpoint,
+    make_optimizer,
+    restore_checkpoint,
+)
+from efficientvideoclassification_youtube8m_tpu.utils import summary as summary_lib
+
+logger = logging.getLogger("validate")
+
+
+def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path):
+    from efficientvideoclassification_youtube8m_tpu.parallel import shard_batch
+
+    evl_metrics = EvaluationMetrics(cfg.num_classes, args.top_k)
+    global_step_val = int(np.asarray(state.global_step))
+    loader = FrameDataLoader(
+        args.eval_data_pattern,
+        batch_size=cfg.batch_size,
+        feature_names=cfg.feature_names_list,
+        feature_sizes=cfg.feature_sizes_list,
+        max_frames=cfg.max_num_frames,
+        vocab_size=cfg.num_classes,
+        num_readers=cfg.num_readers,
+        num_epochs=1,
+        shuffle=False,
+        pad_final_batch=True,
+        use_native=cfg.use_native_io,
+    )
+    examples_processed = 0
+    start = time.time()
+    for batch in loader:
+        f, l, n = shard_batch(mesh, batch.features, batch.labels,
+                              batch.num_frames)
+        out = step_fn(state.params_teacher, state.params_student, f, l, n)
+        valid = batch.labels.shape[0] - batch.pad
+        topk_val = np.asarray(out["topk_val"])[:valid]
+        topk_idx = np.asarray(out["topk_idx"])[:valid]
+        per_loss = np.asarray(out["per_example_loss"])[:valid]
+        info = evl_metrics.accumulate_topk(
+            topk_val, topk_idx, batch.labels[:valid], per_loss
+        )
+        examples_processed += valid
+        info["examples_per_second"] = examples_processed / (time.time() - start)
+        logger.info(
+            "%s | L_REP: %.4f",
+            summary_lib.add_global_step_summary(
+                writer, global_step_val, info, summary_scope="Eval"
+            ),
+            float(out["student_loss_state"]),
+        )
+    epoch_data = evl_metrics.get()
+    epoch_data["epoch_id"] = global_step_val
+    logger.info(
+        summary_lib.add_epoch_summary(
+            writer, global_step_val, epoch_data, summary_scope="Eval"
+        )
+    )
+    logger.info(
+        "Average examples processed in one second %0.20f",
+        examples_processed / (time.time() - start),
+    )
+    return epoch_data
+
+
+def evaluate(args):
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_sharded_validate_step,
+        create_mesh,
+    )
+
+    cfg = flags_lib.config_from_args(args)
+    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    template = init_distill_state(cfg, optimizer)
+    mesh = create_mesh(model=args.model_parallelism)
+    step_fn = build_sharded_validate_step(
+        cfg, mesh, template.params_teacher, template.params_student,
+        top_k=args.top_k,
+    )
+    writer = summary_lib.SummaryWriter(os.path.join(cfg.train_dir, "eval"))
+
+    last_checkpoint = None
+    while True:
+        ckpt = latest_checkpoint(cfg.train_dir)
+        if ckpt is None:
+            logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
+        elif ckpt != last_checkpoint:
+            logger.info("Loading checkpoint for eval: %s", ckpt)
+            state = restore_checkpoint(ckpt, template)
+            evaluation_loop(cfg, args, state, step_fn, mesh, writer, ckpt)
+            last_checkpoint = ckpt
+        if args.run_once:
+            break
+        time.sleep(30)
+    writer.close()
+
+
+def main(argv=None):
+    flags_lib.setup_logging()
+    parser = flags_lib.base_parser("Validate the student on YT8M (TPU)")
+    args = parser.parse_args(argv)
+    flags_lib.dump_flags(args, logger)
+    evaluate(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

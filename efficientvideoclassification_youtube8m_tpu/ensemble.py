@@ -1,0 +1,89 @@
+"""Prediction-CSV utilities + ensembling.
+
+The Kaggle submission format the reference reads/writes
+(`inference_ensemble.py:63-74,155-176,182`):
+
+    VideoId,LabelConfidencePairs
+    <id>,<class> <prob> <class> <prob> ...
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+
+def format_lines(video_ids: Sequence[str], predictions: np.ndarray,
+                 top_k: int) -> Iterator[str]:
+    """Top-k 'class prob' pairs per video, sorted by descending prob
+    (inference_ensemble.py:63-74)."""
+    for video_index in range(len(video_ids)):
+        top_indices = np.argpartition(predictions[video_index], -top_k)[-top_k:]
+        line = [
+            (int(class_index), float(predictions[video_index][class_index]))
+            for class_index in top_indices
+        ]
+        line = sorted(line, key=lambda p: -p[1])
+        vid = video_ids[video_index]
+        if isinstance(vid, bytes):
+            vid = vid.decode("utf-8")
+        yield vid + "," + " ".join("%i %f" % pair for pair in line) + "\n"
+
+
+def write_predictions_csv(path: str, rows: Iterator[str]):
+    with open(path, "w") as f:
+        f.write("VideoId,LabelConfidencePairs\n")
+        for row in rows:
+            f.write(row)
+
+
+def read_pred_file(filename: str) -> Dict[str, Tuple[List[int], List[float]]]:
+    """CSV -> {video_id: (label_ids, probs)} (inference_ensemble.py:155-167)."""
+    with open(filename) as f:
+        lines = f.readlines()[1:]
+    out = {}
+    for line in lines:
+        vid, pairs = line.rstrip("\n").split(",", 1)
+        tokens = pairs.split(" ")
+        labels = [int(t) for t in tokens[0::2]]
+        probs = [float(t) for t in tokens[1::2]]
+        out[vid] = (labels, probs)
+    return out
+
+
+def load_old_predictions(
+    preds_pattern: str, video_ids: Sequence[str], num_classes: int = 4716
+) -> np.ndarray:
+    """Assemble [B, K, num_classes] from K sorted prediction CSVs
+    (inference_ensemble.py:169-191)."""
+    files = sorted(globlib.glob(preds_pattern))
+    if not files:
+        raise IOError(f"no prediction files match {preds_pattern!r}")
+    dicts = [read_pred_file(f) for f in files]
+    out = np.zeros((len(video_ids), len(files), num_classes), np.float32)
+    for i, vid in enumerate(video_ids):
+        if isinstance(vid, bytes):
+            vid = vid.decode("utf-8")
+        for j, d in enumerate(dicts):
+            labels, probs = d[vid]
+            out[i, j, labels] = probs
+    return out
+
+
+def max_ensemble(
+    pred_files: Sequence[str], num_classes: int = 4716, top_k: int = 20
+) -> Iterator[str]:
+    """Per-label max over K prediction CSVs (max_ensemble.py): for each
+    video take, per class, the maximum probability any model assigned,
+    then emit the top-k. Streams over videos, so the Kaggle-scale 700640
+    rows never materialize at once."""
+    dicts = [read_pred_file(f) for f in pred_files]
+    video_ids = list(dicts[0].keys())
+    for vid in video_ids:
+        dense = np.zeros((num_classes,), np.float32)
+        for d in dicts:
+            labels, probs = d[vid]
+            np.maximum.at(dense, labels, probs)
+        yield from format_lines([vid], dense[None, :], top_k)

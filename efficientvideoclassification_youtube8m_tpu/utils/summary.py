@@ -1,0 +1,160 @@
+"""TensorBoard-compatible scalar summary writer — no TensorFlow.
+
+The reference emits hand-built `tf.Summary` protos via
+`MakeSummary`/`AddGlobalStepSummary`/`AddEpochSummary`
+(`/root/reference/code_student_uniform/utils.py:28-125`) into Supervisor
+event files. This writes the same wire format directly: an events file is
+a TFRecord stream of Event protos
+
+    Event { double wall_time = 1; int64 step = 2;
+            oneof { string file_version = 3; Summary summary = 5; } }
+    Summary { repeated Value value = 1 { string tag = 1;
+                                         float simple_value = 2; } }
+
+readable by TensorBoard, with the reference's exact tag names.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.data.proto import (
+    _len_field,
+    _tag,
+    write_varint,
+)
+from efficientvideoclassification_youtube8m_tpu.data.tfrecord import TFRecordWriter
+
+
+def _double_field(field_num: int, value: float) -> bytes:
+    return _tag(field_num, 1) + struct.pack("<d", value)
+
+
+def _float_field(field_num: int, value: float) -> bytes:
+    return _tag(field_num, 5) + struct.pack("<f", value)
+
+
+def _varint_field(field_num: int, value: int) -> bytes:
+    return _tag(field_num, 0) + write_varint(value & ((1 << 64) - 1))
+
+
+def make_summary(name: str, value: float) -> bytes:
+    """Serialized Summary proto with one simple_value (utils.py:28-34)."""
+    val = _len_field(1, str(name).encode()) + _float_field(2, float(value))
+    return _len_field(1, val)
+
+
+def make_event(
+    summary: Optional[bytes] = None,
+    step: int = 0,
+    wall_time: Optional[float] = None,
+    file_version: Optional[str] = None,
+) -> bytes:
+    out = _double_field(1, time.time() if wall_time is None else wall_time)
+    if step:
+        out += _varint_field(2, step)
+    if file_version is not None:
+        out += _len_field(3, file_version.encode())
+    if summary is not None:
+        out += _len_field(5, summary)
+    return out
+
+
+class SummaryWriter:
+    """Append-only events-file writer (one scalar or many per step)."""
+
+    def __init__(self, logdir: str):
+        os.makedirs(logdir, exist_ok=True)
+        fname = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        self._writer = TFRecordWriter(os.path.join(logdir, fname))
+        self._writer.write(make_event(file_version="brain.Event:2"))
+
+    def add_summary(self, summary: bytes, global_step: int = 0):
+        self._writer.write(make_event(summary=summary, step=global_step))
+
+    def scalar(self, tag: str, value: float, global_step: int = 0):
+        self.add_summary(make_summary(tag, value), global_step)
+
+    def flush(self):
+        self._writer._f.flush()
+
+    def close(self):
+        self._writer.close()
+
+
+def add_global_step_summary(
+    summary_writer: Optional[SummaryWriter],
+    global_step_val: int,
+    global_step_info_dict: Dict[str, float],
+    summary_scope: str = "Eval",
+) -> str:
+    """Per-batch scalars + the reference's log line (utils.py:37-78)."""
+    this_hit_at_one = global_step_info_dict["hit_at_one"]
+    this_perr = global_step_info_dict["perr"]
+    this_loss = global_step_info_dict["loss"]
+    examples_per_second = global_step_info_dict.get("examples_per_second", -1)
+
+    if summary_writer is not None:
+        summary_writer.scalar(
+            f"GlobalStep/{summary_scope}_Hit@1", this_hit_at_one, global_step_val
+        )
+        summary_writer.scalar(
+            f"GlobalStep/{summary_scope}_Perr", this_perr, global_step_val
+        )
+        summary_writer.scalar(
+            f"GlobalStep/{summary_scope}_Loss", this_loss, global_step_val
+        )
+        if examples_per_second != -1:
+            summary_writer.scalar(
+                f"GlobalStep/{summary_scope}_Example_Second",
+                examples_per_second,
+                global_step_val,
+            )
+        summary_writer.flush()
+    return (
+        "global_step {0} | Batch Hit@1: {1:.3f} | Batch PERR: {2:.3f} "
+        "| Batch Loss: {3:.3f} | Examples_per_sec: {4:.3f}"
+    ).format(
+        global_step_val, this_hit_at_one, this_perr, this_loss,
+        examples_per_second,
+    )
+
+
+def add_epoch_summary(
+    summary_writer: Optional[SummaryWriter],
+    global_step_val: int,
+    epoch_info_dict: Dict[str, object],
+    summary_scope: str = "Eval",
+) -> str:
+    """Epoch scalars + the reference's log line (utils.py:81-125)."""
+    epoch_id = epoch_info_dict["epoch_id"]
+    avg_hit_at_one = epoch_info_dict["avg_hit_at_one"]
+    avg_perr = epoch_info_dict["avg_perr"]
+    avg_loss = epoch_info_dict["avg_loss"]
+    aps = epoch_info_dict["aps"]
+    gap = epoch_info_dict["gap"]
+    mean_ap = float(np.mean(aps))
+
+    if summary_writer is not None:
+        summary_writer.scalar(
+            f"Epoch/{summary_scope}_Avg_Hit@1", avg_hit_at_one, global_step_val
+        )
+        summary_writer.scalar(
+            f"Epoch/{summary_scope}_Avg_Perr", avg_perr, global_step_val
+        )
+        summary_writer.scalar(
+            f"Epoch/{summary_scope}_Avg_Loss", avg_loss, global_step_val
+        )
+        summary_writer.scalar(f"Epoch/{summary_scope}_MAP", mean_ap, global_step_val)
+        summary_writer.scalar(f"Epoch/{summary_scope}_GAP", gap, global_step_val)
+        summary_writer.flush()
+    return (
+        "epoch/eval number {0} | Avg_Hit@1: {1:.3f} | Avg_PERR: {2:.3f} "
+        "| MAP: {3:.3f} | GAP: {4:.3f} | Avg_Loss: {5:3f}"
+    ).format(epoch_id, avg_hit_at_one, avg_perr, mean_ap, gap, avg_loss)
