@@ -21,7 +21,10 @@ import numpy as np
 import flax.serialization
 
 from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
-from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.data import (
+    AggregatedDataLoader,
+    FrameDataLoader,
+)
 from efficientvideoclassification_youtube8m_tpu.ensemble import (
     format_lines,
     load_old_predictions,
@@ -49,9 +52,12 @@ def inference(args):
     logger.info("ensemble head: %s (input %d)", head_name, head_input)
 
     @jax.jit
-    def run_head(params, features_u8, old_predictions):
-        # mean-pool the frame features into a video-level input
-        model_input = preprocess_batch(cfg, features_u8).mean(axis=1)
+    def run_head(params, features, old_predictions):
+        if features.dtype == jnp.uint8:
+            # frame-level input: mean-pool into a video-level vector
+            model_input = preprocess_batch(cfg, features).mean(axis=1)
+        else:
+            model_input = features
         out = head.apply(
             params,
             model_input,
@@ -60,19 +66,21 @@ def inference(args):
         )
         return out["predictions"]
 
-    loader = FrameDataLoader(
-        args.input_data_pattern,
+    loader_cls = FrameDataLoader if args.frame_features else AggregatedDataLoader
+    loader_kwargs = dict(
         batch_size=cfg.batch_size,
         feature_names=cfg.feature_names_list,
         feature_sizes=cfg.feature_sizes_list,
-        max_frames=cfg.max_num_frames,
         vocab_size=cfg.num_classes,
         num_readers=cfg.num_readers,
         num_epochs=1,
         shuffle=False,
         pad_final_batch=True,
-        use_native=cfg.use_native_io,
     )
+    if args.frame_features:
+        loader_kwargs.update(max_frames=cfg.max_num_frames,
+                             use_native=cfg.use_native_io)
+    loader = loader_cls(args.input_data_pattern, **loader_kwargs)
 
     # the head's "vocab_size" is K for the weight-over-models heads
     import glob as globlib

@@ -1,4 +1,6 @@
 from efficientvideoclassification_youtube8m_tpu.data.loader import (
+    AggregatedBatch,
+    AggregatedDataLoader,
     FrameBatch,
     FrameDataLoader,
 )
@@ -10,6 +12,7 @@ from efficientvideoclassification_youtube8m_tpu.data.tfrecord import (
 )
 from efficientvideoclassification_youtube8m_tpu.data.yt8m import (
     AggregatedVideo,
+    write_synthetic_aggregated_shard,
     FrameVideo,
     encode_aggregated_record,
     encode_frame_record,
@@ -20,6 +23,9 @@ from efficientvideoclassification_youtube8m_tpu.data.yt8m import (
 )
 
 __all__ = [
+    "AggregatedBatch",
+    "AggregatedDataLoader",
+    "write_synthetic_aggregated_shard",
     "FrameBatch",
     "FrameDataLoader",
     "TFRecordReader",

@@ -197,7 +197,7 @@ class FrameDataLoader:
             pass
 
     # ------------------------------------------------------------------
-    def _assemble(self, videos: List[yt8m.FrameVideo], pad: int) -> FrameBatch:
+    def _assemble(self, videos: List, pad: int) -> FrameBatch:
         n = len(videos)
         B = n + pad
         features = np.zeros((B, self.max_frames, self.total_size), np.uint8)
@@ -214,3 +214,42 @@ class FrameDataLoader:
             ids.append(v.video_id)
         ids.extend([""] * pad)
         return FrameBatch(ids, features, labels, num_frames, pad=pad)
+
+
+@dataclasses.dataclass
+class AggregatedBatch:
+    video_ids: List[str]
+    features: np.ndarray  # [B, total_size] float32
+    labels: np.ndarray  # [B, vocab] bool
+    pad: int = 0
+
+
+class AggregatedDataLoader(FrameDataLoader):
+    """Video-level (pre-aggregated Example) loader — the rebuild of
+    `YT8MAggregatedFeatureReader` (readers.py:53-112). Reuses the frame
+    loader's thread/shuffle machinery; only parsing + assembly differ."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("use_native", False)  # aggregated shards are small
+        super().__init__(*args, **kwargs)
+
+    def _iter_file(self, path: str):
+        for record in TFRecordReader(path):
+            yield yt8m.parse_aggregated_record(
+                record, self.feature_names, self.feature_sizes
+            )
+
+    def _assemble(self, videos: List, pad: int) -> AggregatedBatch:
+        n = len(videos)
+        B = n + pad
+        features = np.zeros((B, self.total_size), np.float32)
+        labels = np.zeros((B, self.vocab_size), bool)
+        ids = []
+        for i, v in enumerate(videos):
+            features[i] = v.features
+            for c in v.labels:
+                if 0 <= c < self.vocab_size:
+                    labels[i, c] = True
+            ids.append(v.video_id)
+        ids.extend([""] * pad)
+        return AggregatedBatch(ids, features, labels, pad=pad)

@@ -151,6 +151,34 @@ def read_frame_file(
         yield parse_frame_record(record, feature_names, feature_sizes, max_frames)
 
 
+def write_synthetic_aggregated_shard(
+    path: str,
+    num_videos: int,
+    seed: int = 0,
+    feature_names: Sequence[str] = ("mean_rgb", "mean_audio"),
+    feature_sizes: Sequence[int] = (1024, 128),
+    vocab_size: int = 4716,
+    mean_labels: float = 3.4,
+) -> List[AggregatedVideo]:
+    """Generate a video-level (pre-aggregated) synthetic shard."""
+    rng = np.random.default_rng(seed)
+    total = sum(feature_sizes)
+    truth = []
+    with TFRecordWriter(path) as w:
+        for i in range(num_videos):
+            feats = rng.normal(size=(total,)).astype(np.float32)
+            n_labels = max(1, int(rng.poisson(mean_labels)))
+            labels = sorted(
+                int(x) for x in rng.choice(vocab_size, size=min(n_labels, 20),
+                                           replace=False)
+            )
+            vid = f"agg{seed:02d}_{i:05d}"
+            w.write(encode_aggregated_record(vid, labels, feats, feature_names,
+                                             feature_sizes))
+            truth.append(AggregatedVideo(vid, labels, feats))
+    return truth
+
+
 def write_synthetic_frame_shard(
     path: str,
     num_videos: int,

@@ -1,0 +1,133 @@
+"""Ensemble path tests: CSV round-trips, aggregated loader, head
+training + ensemble inference end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+from efficientvideoclassification_youtube8m_tpu.data import (
+    AggregatedDataLoader,
+    write_synthetic_aggregated_shard,
+)
+from efficientvideoclassification_youtube8m_tpu.ensemble import (
+    format_lines,
+    load_old_predictions,
+    read_pred_file,
+    write_predictions_csv,
+)
+
+VOCAB = 30
+
+
+def test_csv_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    preds = rng.uniform(size=(5, VOCAB))
+    ids = [f"v{i}" for i in range(5)]
+    path = str(tmp_path / "preds.csv")
+    write_predictions_csv(path, format_lines(ids, preds, 10))
+    back = read_pred_file(path)
+    assert set(back) == set(ids)
+    for i, vid in enumerate(ids):
+        labels, probs = back[vid]
+        assert len(labels) == 10
+        # the top-10 classes by score, descending
+        want = np.argsort(-preds[i])[:10]
+        assert set(labels) == set(int(x) for x in want)
+        np.testing.assert_allclose(sorted(probs, reverse=True), probs)
+
+
+def test_load_old_predictions(tmp_path):
+    rng = np.random.default_rng(1)
+    ids = [f"v{i}" for i in range(4)]
+    all_preds = []
+    for k in range(3):
+        preds = rng.uniform(size=(4, VOCAB))
+        write_predictions_csv(
+            str(tmp_path / f"preds_{k}.csv"), format_lines(ids, preds, 5))
+        all_preds.append(preds)
+    old = load_old_predictions(str(tmp_path / "preds_*.csv"), ids, VOCAB)
+    assert old.shape == (4, 3, VOCAB)
+    # entries match the top-5 of each source; non-top-5 are zero
+    for k in range(3):
+        for i in range(4):
+            top5 = np.argsort(-all_preds[k][i])[:5]
+            np.testing.assert_allclose(old[i, k, top5], all_preds[k][i, top5],
+                                       rtol=1e-5)
+            mask = np.ones(VOCAB, bool)
+            mask[top5] = False
+            assert np.all(old[i, k, mask] == 0)
+
+
+def test_aggregated_loader(tmp_path):
+    truth = write_synthetic_aggregated_shard(
+        str(tmp_path / "agg-0000.tfrecord"), num_videos=11, seed=3,
+        feature_names=("mean_rgb", "mean_audio"), feature_sizes=(8, 4),
+        vocab_size=VOCAB)
+    loader = AggregatedDataLoader(
+        str(tmp_path / "agg-*.tfrecord"), batch_size=4,
+        feature_names=("mean_rgb", "mean_audio"), feature_sizes=(8, 4),
+        vocab_size=VOCAB, num_epochs=1, shuffle=False)
+    seen = {}
+    for batch in loader:
+        assert batch.features.shape[1] == 12
+        for i, vid in enumerate(batch.video_ids[: len(batch.video_ids) - batch.pad]):
+            seen[vid] = (batch.features[i].copy(), batch.labels[i].copy())
+    assert len(seen) == 11
+    for t in truth:
+        feats, labels = seen[t.video_id]
+        np.testing.assert_allclose(feats, t.features, rtol=1e-6)
+        np.testing.assert_array_equal(np.nonzero(labels)[0], np.asarray(t.labels))
+
+
+@pytest.mark.parametrize("head", ["LinearRegressionEnsemble",
+                                  "SingleHiddenLayerEnsemble"])
+def test_train_and_infer_ensemble_head(tmp_path, head):
+    from efficientvideoclassification_youtube8m_tpu.cli import (
+        inference_ensemble as ie_cli,
+        train_ensemble as te_cli,
+    )
+
+    rng = np.random.default_rng(4)
+    # aggregated shard + two prediction CSVs over the same ids
+    truth = write_synthetic_aggregated_shard(
+        str(tmp_path / "agg-0000.tfrecord"), num_videos=12, seed=5,
+        feature_names=("mean_rgb", "mean_audio"), feature_sizes=(8, 4),
+        vocab_size=VOCAB)
+    ids = [t.video_id for t in truth]
+    for k in range(2):
+        preds = rng.uniform(size=(12, VOCAB))
+        write_predictions_csv(str(tmp_path / f"preds_{k}.csv"),
+                              format_lines(ids, preds, VOCAB))
+
+    flags = [
+        "--num_classes", str(VOCAB),
+        "--batch_size", "6",
+        "--feature_names", "mean_rgb, mean_audio",
+        "--feature_sizes", "8, 4",
+        "--num_epochs", "2",
+        "--compute_dtype", "float32",
+        "--top_k", "5",
+        "--frame_features", "false",
+    ]
+    head_ckpt = str(tmp_path / "head.msgpack")
+    te_cli.main(flags + [
+        "--model", head,
+        "--train_data_pattern", str(tmp_path / "agg-*.tfrecord"),
+        "--preds_pattern", str(tmp_path / "preds_*.csv"),
+        "--head_checkpoint", head_ckpt,
+    ])
+    assert os.path.exists(head_ckpt)
+
+    out_csv = str(tmp_path / "ensembled.csv")
+    ie_cli.main(flags + [
+        "--input_data_pattern", str(tmp_path / "agg-*.tfrecord"),
+        "--preds_pattern", str(tmp_path / "preds_*.csv"),
+        "--head_checkpoint", head_ckpt,
+        "--output_file", out_csv,
+    ])
+    merged = read_pred_file(out_csv)
+    assert set(merged) == set(ids)
+    for vid, (labels, probs) in merged.items():
+        assert len(labels) == 5
+        assert all(0.0 <= p <= 1.0 for p in probs)
