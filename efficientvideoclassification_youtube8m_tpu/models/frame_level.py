@@ -79,6 +79,7 @@ class HierarchicalLstmModel:
         labels: Optional[jax.Array] = None,
         dropout_keep_prob=1.0,
         rng: Optional[jax.Array] = None,
+        scan_unroll: int = 1,
         **classifier_kwargs,
     ) -> Dict[str, Any]:
         B, T, D = model_input.shape
@@ -94,7 +95,8 @@ class HierarchicalLstmModel:
             chunk_len,
         ).reshape(B * num_chunks)
         l1_state = multi_lstm_scan(
-            params["rnn_l1"], x_chunks, seq_l1, compute_dtype=compute_dtype
+            params["rnn_l1"], x_chunks, seq_l1, compute_dtype=compute_dtype,
+            unroll=scan_unroll,
         )  # [B*num_chunks, layers*2*cells]
 
         # L2: scan over the per-chunk final states.
@@ -103,7 +105,8 @@ class HierarchicalLstmModel:
             num_frames.astype(jnp.float32) / float(chunk_len)
         ).astype(jnp.int32)
         state = multi_lstm_scan(
-            params["rnn_l2"], l2_input, seq_l2, compute_dtype=compute_dtype
+            params["rnn_l2"], l2_input, seq_l2, compute_dtype=compute_dtype,
+            unroll=scan_unroll,
         )  # [B, layers*2*cells]
 
         cls = get_model(classifier)

@@ -98,6 +98,7 @@ def _lstm_layer_scan(
     seq_len: jax.Array,  # [B] int
     forget_bias: float,
     compute_dtype: Any,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run one LSTM layer over a full sequence with dynamic_rnn masking.
 
@@ -107,17 +108,24 @@ def _lstm_layer_scan(
     H = params["kernel"].shape[-1] // 4
     # Accumulate in f32 (MXU-native) unless running a float64 parity check.
     acc_dtype = jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
+    low_precision = compute_dtype == jnp.bfloat16
     w_x = params["kernel"][:D].astype(compute_dtype)
     w_h = params["kernel"][D:].astype(compute_dtype)
     bias = params["bias"].astype(acc_dtype)
 
     # Hoisted input projection: one MXU-sized matmul for every timestep.
+    # In bf16 mode the [B, T, 4H] intermediate is stored in bf16 — it is
+    # the largest HBM tensor in the model (e.g. 1.26 GB/layer f32 for the
+    # teacher L1) and its round-trip bounds the scan's bandwidth; the
+    # bias is re-added in f32 inside the step.
     x_proj = jax.lax.dot_general(
         xs.astype(compute_dtype),
         w_x,
         dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=acc_dtype,
-    ) + bias  # [B, T, 4H]
+        preferred_element_type=compute_dtype if low_precision else acc_dtype,
+    )
+    if not low_precision:
+        x_proj = x_proj + bias
 
     seq_len = seq_len.astype(jnp.int32)
     c0 = jnp.zeros((B, H), acc_dtype)
@@ -127,12 +135,16 @@ def _lstm_layer_scan(
     def step(carry, inp):
         c, h = carry
         xp, t = inp
-        gates = xp + jax.lax.dot_general(
+        gates = jax.lax.dot_general(
             h.astype(compute_dtype),
             w_h,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )
+        if low_precision:
+            gates = gates + xp.astype(acc_dtype) + bias
+        else:
+            gates = gates + xp
         i, j, f, o = jnp.split(gates, 4, axis=-1)
         new_c = c * jax.nn.sigmoid(f + forget_bias) + jax.nn.sigmoid(i) * jnp.tanh(j)
         new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
@@ -143,7 +155,7 @@ def _lstm_layer_scan(
         return (c, h), out
 
     (c_fin, h_fin), outs = jax.lax.scan(
-        step, (c0, h0), (jnp.swapaxes(x_proj, 0, 1), ts)
+        step, (c0, h0), (jnp.swapaxes(x_proj, 0, 1), ts), unroll=unroll
     )
     return jnp.swapaxes(outs, 0, 1), c_fin, h_fin
 
@@ -155,6 +167,7 @@ def multi_lstm_scan(
     forget_bias: float = 1.0,
     compute_dtype: Any = jnp.float32,
     return_outputs: bool = False,
+    unroll: int = 1,
 ):
     """Stacked-LSTM `dynamic_rnn` over a full sequence.
 
@@ -169,7 +182,8 @@ def multi_lstm_scan(
     outs = None
     for layer_params in params:
         outs, c_fin, h_fin = _lstm_layer_scan(
-            layer_params, layer_in, seq_len, forget_bias, compute_dtype
+            layer_params, layer_in, seq_len, forget_bias, compute_dtype,
+            unroll=unroll,
         )
         state_parts.extend([c_fin, h_fin])
         layer_in = outs

@@ -53,6 +53,7 @@ def _model_apply_kwargs(cfg: TrainConfig) -> Dict[str, Any]:
         "compute_dtype": jnp.bfloat16
         if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
+        "scan_unroll": cfg.scan_unroll,
     }
     if cfg.video_level_classifier_model == "MoeModel":
         kw["num_mixtures"] = cfg.moe_num_mixtures

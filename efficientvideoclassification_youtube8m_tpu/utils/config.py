@@ -74,6 +74,7 @@ class TrainConfig:
     # rebuild-specific knobs
     seed: int = 0
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-native matmuls
+    scan_unroll: int = 1  # lax.scan unroll factor for the LSTM time loops
     faithful_quirks: bool = True  # L_REP double-count + global_step += 2
     use_native_io: bool = True
     # sharding: data-parallel size is inferred from the mesh at run time

@@ -108,6 +108,30 @@ def test_state_layout_is_c_then_h_per_layer():
     np.testing.assert_allclose(h, np.asarray(eh), rtol=1e-6)
 
 
+def test_bf16_path_tracks_f32():
+    """The bf16 compute path (bf16 x_proj storage + deferred bias) must
+    track the f32 path within bf16 rounding tolerance."""
+    params = init_multi_lstm(jax.random.PRNGKey(5), 12, 8, 2)
+    xs = jnp.asarray(np.random.default_rng(4).normal(size=(4, 15, 12)),
+                     jnp.float32)
+    seq_len = jnp.array([0, 3, 9, 15])
+    f32 = np.asarray(multi_lstm_scan(params, xs, seq_len))
+    bf16 = np.asarray(multi_lstm_scan(params, xs, seq_len,
+                                      compute_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(bf16, f32, rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("unroll", [2, 5])
+def test_unroll_is_exact(unroll):
+    params = init_multi_lstm(jax.random.PRNGKey(6), 6, 5, 2)
+    xs = jnp.asarray(np.random.default_rng(5).normal(size=(3, 15, 6)),
+                     jnp.float32)
+    seq_len = jnp.array([2, 9, 15])
+    base = np.asarray(multi_lstm_scan(params, xs, seq_len))
+    got = np.asarray(multi_lstm_scan(params, xs, seq_len, unroll=unroll))
+    np.testing.assert_allclose(got, base, rtol=1e-6, atol=1e-7)
+
+
 def test_outputs_zeroed_past_seq_len():
     params = init_multi_lstm(jax.random.PRNGKey(3), 4, 3, 1)
     xs = jnp.asarray(np.random.default_rng(1).normal(size=(2, 6, 4)), jnp.float32)
