@@ -117,6 +117,7 @@ class HierarchicalLstmModel:
             labels=labels,
             dropout_keep_prob=dropout_keep_prob,
             rng=rng,
+            compute_dtype=compute_dtype,
             **classifier_kwargs,
         )
         result["state"] = state

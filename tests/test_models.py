@@ -42,9 +42,19 @@ def test_moe_model_semantics():
     assert preds.shape == (3, VOCAB)
     assert np.all(preds >= 0) and np.all(preds <= 1)
 
-    # manual recompute
-    g = np.asarray(x @ params["gates"]["w"]).reshape(-1, 3)
-    e = np.asarray(x @ params["experts"]["w"] + params["experts"]["b"]).reshape(-1, 2)
+    # manual recompute in the REFERENCE's interleaved layout: our stored
+    # [D, k, V] weight column [:, k, c] is the reference's column
+    # c*(m+1)+k, so mapping back and using reshape(-1, m+1) must give the
+    # same predictions (layout change is math-free).
+    gw = np.asarray(params["gates"]["w"])  # [D, 3, V]
+    ew = np.asarray(params["experts"]["w"])  # [D, 2, V]
+    eb = np.asarray(params["experts"]["b"])  # [2, V]
+    D = gw.shape[0]
+    gw_tf = gw.transpose(0, 2, 1).reshape(D, -1)  # [D, V*(m+1)] interleaved
+    ew_tf = ew.transpose(0, 2, 1).reshape(D, -1)
+    eb_tf = eb.T.reshape(-1)
+    g = np.asarray(x @ gw_tf).reshape(-1, 3)
+    e = (np.asarray(x @ ew_tf) + eb_tf).reshape(-1, 2)
     gs = np.exp(g - g.max(-1, keepdims=True))
     gs = gs / gs.sum(-1, keepdims=True)
     expect = (gs[:, :2] * (1 / (1 + np.exp(-e)))).sum(-1).reshape(3, VOCAB)

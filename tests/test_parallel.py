@@ -119,10 +119,10 @@ def test_tp_actually_shards_moe(capsys):
     state_host = init_distill_state(cfg, opt)
     mesh = create_mesh(data=4, model=2)
     state = place_state(state_host, mesh, min_dim=32)
-    w = state.params_teacher["classifier"]["gates"]["w"]
-    # vocab*(m+1) = 96 columns split over 2 model shards -> 48 each
+    w = state.params_teacher["classifier"]["gates"]["w"]  # [D, m+1, V]
+    # the class axis splits over the 2 model shards -> V/2 each
     shard_shapes = {s.data.shape for s in w.addressable_shards}
-    assert shard_shapes == {(w.shape[0], w.shape[1] // 2)}
+    assert shard_shapes == {(w.shape[0], w.shape[1], w.shape[2] // 2)}
 
 
 def test_sharded_eval_step():
