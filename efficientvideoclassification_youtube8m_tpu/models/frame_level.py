@@ -80,11 +80,30 @@ class HierarchicalLstmModel:
         dropout_keep_prob=1.0,
         rng: Optional[jax.Array] = None,
         scan_unroll: int = 1,
+        use_pallas: bool = False,
         **classifier_kwargs,
     ) -> Dict[str, Any]:
         B, T, D = model_input.shape
         assert T % num_chunks == 0, (T, num_chunks)
         chunk_len = T // num_chunks
+
+        if use_pallas:
+            # fused inference kernel (forward-only, bf16):
+            # ops/pallas/lstm_scan.py
+            from efficientvideoclassification_youtube8m_tpu.ops.pallas import (
+                multi_lstm_scan_pallas,
+            )
+
+            def scan_fn(p, xs, seq):
+                bsz = xs.shape[0]
+                tile = 256 if bsz % 256 == 0 else (
+                    128 if bsz % 128 == 0 else (8 if bsz % 8 == 0 else 1))
+                return multi_lstm_scan_pallas(p, xs, seq, tile_b=tile)
+        else:
+            def scan_fn(p, xs, seq):
+                return multi_lstm_scan(
+                    p, xs, seq, compute_dtype=compute_dtype, unroll=scan_unroll
+                )
 
         # L1: fold chunks into the batch axis -> one shared-weight scan.
         x_chunks = model_input.reshape(B * num_chunks, chunk_len, D)
@@ -94,20 +113,16 @@ class HierarchicalLstmModel:
             0,
             chunk_len,
         ).reshape(B * num_chunks)
-        l1_state = multi_lstm_scan(
-            params["rnn_l1"], x_chunks, seq_l1, compute_dtype=compute_dtype,
-            unroll=scan_unroll,
-        )  # [B*num_chunks, layers*2*cells]
+        l1_state = scan_fn(params["rnn_l1"], x_chunks, seq_l1)
+        # [B*num_chunks, layers*2*cells]
 
         # L2: scan over the per-chunk final states.
-        l2_input = l1_state.reshape(B, num_chunks, -1)
+        l2_input = l1_state.reshape(B, num_chunks, -1).astype(jnp.float32)
         seq_l2 = jnp.ceil(
             num_frames.astype(jnp.float32) / float(chunk_len)
         ).astype(jnp.int32)
-        state = multi_lstm_scan(
-            params["rnn_l2"], l2_input, seq_l2, compute_dtype=compute_dtype,
-            unroll=scan_unroll,
-        )  # [B, layers*2*cells]
+        state = scan_fn(params["rnn_l2"], l2_input, seq_l2)
+        # [B, layers*2*cells]
 
         cls = get_model(classifier)
         result = cls.apply(

@@ -1,0 +1,6 @@
+from efficientvideoclassification_youtube8m_tpu.ops.pallas.lstm_scan import (
+    lstm_chunk_scan_pallas,
+    multi_lstm_scan_pallas,
+)
+
+__all__ = ["lstm_chunk_scan_pallas", "multi_lstm_scan_pallas"]

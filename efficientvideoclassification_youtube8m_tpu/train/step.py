@@ -47,7 +47,7 @@ from efficientvideoclassification_youtube8m_tpu.train.state import (
 from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 
 
-def _model_apply_kwargs(cfg: TrainConfig) -> Dict[str, Any]:
+def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False) -> Dict[str, Any]:
     kw: Dict[str, Any] = {
         "classifier": cfg.video_level_classifier_model,
         "compute_dtype": jnp.bfloat16
@@ -55,6 +55,12 @@ def _model_apply_kwargs(cfg: TrainConfig) -> Dict[str, Any]:
         else jnp.float32,
         "scan_unroll": cfg.scan_unroll,
     }
+    if inference:
+        kw["use_pallas"] = (
+            cfg.use_pallas_inference
+            and cfg.compute_dtype == "bfloat16"
+            and jax.default_backend() == "tpu"
+        )
     if cfg.video_level_classifier_model == "MoeModel":
         kw["num_mixtures"] = cfg.moe_num_mixtures
     else:
@@ -68,7 +74,8 @@ def preprocess_batch(cfg: TrainConfig, features_u8: jax.Array) -> jax.Array:
     return l2_normalize(dequantize(features_u8), axis=2)
 
 
-def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None):
+def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None,
+                    inference: bool = False):
     model = get_model(cfg.model)
     return model.apply(
         params,
@@ -77,12 +84,12 @@ def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=No
         num_frames=num_frames,
         num_chunks=cfg.num_inputs_to_lstm,
         labels=labels,
-        **_model_apply_kwargs(cfg),
+        **_model_apply_kwargs(cfg, inference=inference),
     )
 
 
 def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_stud,
-                    labels=None):
+                    labels=None, inference: bool = False):
     """`create_model_inference` (frame_level_models.py:269-338): same
     architecture on the subsampled frames with num_inputs_L1 chunks."""
     model = get_model(cfg.model)
@@ -93,7 +100,7 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
         num_frames=num_frames_stud,
         num_chunks=cfg.num_inputs_L1,
         labels=labels,
-        **_model_apply_kwargs(cfg),
+        **_model_apply_kwargs(cfg, inference=inference),
     )
 
 
@@ -255,9 +262,10 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
         model_input = preprocess_batch(cfg, features_u8)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
-        out_t = forward_teacher(cfg, params_teacher, model_input, num_frames, labels)
+        out_t = forward_teacher(cfg, params_teacher, model_input, num_frames,
+                                labels, inference=True)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
-                                labels)
+                                labels, inference=True)
         ls = _distill_losses(cfg, out_t, out_s, labels)
         # per-example CE for the epoch aggregator (validate.py:255-268)
         eps = 10e-6
@@ -287,7 +295,7 @@ def build_eval_step(cfg: TrainConfig, top_k: int = 20):
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
-                                labels)
+                                labels, inference=True)
         eps = 10e-6
         fl = labels.astype(jnp.float32)
         per_example_loss = -jnp.sum(

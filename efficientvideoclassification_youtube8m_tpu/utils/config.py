@@ -75,6 +75,9 @@ class TrainConfig:
     seed: int = 0
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-native matmuls
     scan_unroll: int = 1  # lax.scan unroll factor for the LSTM time loops
+    # fused Pallas LSTM kernel on the forward-only (eval/infer) paths;
+    # auto-disabled off-TPU and in float32 mode
+    use_pallas_inference: bool = True
     faithful_quirks: bool = True  # L_REP double-count + global_step += 2
     use_native_io: bool = True
     # sharding: data-parallel size is inferred from the mesh at run time
