@@ -83,7 +83,8 @@ def run(batch_size: int, compute_dtype: str):
 
 def main():
     videos_per_sec = None
-    for batch, dtype in [(256, "bfloat16"), (128, "bfloat16"), (64, "float32")]:
+    for batch, dtype in [(512, "bfloat16"), (256, "bfloat16"),
+                         (128, "bfloat16"), (64, "float32")]:
         try:
             videos_per_sec = run(batch, dtype)
             break

@@ -73,6 +73,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--scan_unroll", type=int, default=15)
+    p.add_argument("--use_pallas_inference", type=_bool, default=True)
     p.add_argument("--faithful_quirks", type=_bool, default=True)
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="size of the 'model' mesh axis (tensor parallelism)")

@@ -187,16 +187,15 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
             opt_student=new_os,
             global_step=state.global_step + step_increment,
         )
+        # the reference's per-step log covers TEACHER metrics only
+        # (train.py:522-526); the student's come from validate.py
         topk_val_t, topk_idx_t = jax.lax.top_k(preds_t, top_k)
-        topk_val_s, topk_idx_s = jax.lax.top_k(preds_s, top_k)
         metrics = dict(
             ls,
             learning_rate=lr,
             global_step=new_state.global_step,
             topk_val=topk_val_t,
             topk_idx=topk_idx_t,
-            topk_val_student=topk_val_s,
-            topk_idx_student=topk_idx_s,
         )
         return new_state, metrics
 

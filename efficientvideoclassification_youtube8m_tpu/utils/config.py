@@ -74,7 +74,9 @@ class TrainConfig:
     # rebuild-specific knobs
     seed: int = 0
     compute_dtype: str = "float32"  # or "bfloat16" for MXU-native matmuls
-    scan_unroll: int = 1  # lax.scan unroll factor for the LSTM time loops
+    # lax.scan unroll for the LSTM time loops; 15 fully unrolls the
+    # teacher's L1 chunks and measured fastest on v5e
+    scan_unroll: int = 15
     # fused Pallas LSTM kernel on the forward-only (eval/infer) paths;
     # auto-disabled off-TPU and in float32 mode
     use_pallas_inference: bool = True

@@ -34,6 +34,7 @@ CFG = TrainConfig(
     every_n=2,
     feature_names="rgb, audio",
     feature_sizes="6, 2",
+    scan_unroll=1,
 )
 
 

@@ -30,6 +30,7 @@ TINY_FLAGS = [
     "--num_readers", "2",
     "--compute_dtype", "float32",
     "--top_k", "5",
+    "--scan_unroll", "1",
 ]
 
 

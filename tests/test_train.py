@@ -39,6 +39,7 @@ TINY = TrainConfig(
     learning_rate_decay_examples=1000,
     feature_names="rgb, audio",
     feature_sizes="6, 2",
+    scan_unroll=1,
 )
 
 
