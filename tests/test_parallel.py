@@ -139,3 +139,22 @@ def test_sharded_eval_step():
     out = step(params, f, l, n)
     assert out["predictions"].shape == (cfg.batch_size, cfg.num_classes)
     assert np.all(np.isfinite(np.asarray(out["per_example_loss"])))
+
+
+def test_tf_config_parsing():
+    from efficientvideoclassification_youtube8m_tpu.parallel import distributed
+
+    cfg = distributed.parse_tf_config(
+        {"TF_CONFIG": '{"cluster": {"worker": ["h0:1234", "h1:1234"]}, '
+                      '"task": {"type": "worker", "index": 1}}'})
+    assert cfg == {"coordinator": "h0:1234", "num_processes": 2,
+                   "process_id": 1, "task_type": "worker"}
+    assert distributed.parse_tf_config({}) is None
+
+
+def test_host_shard_single_process():
+    from efficientvideoclassification_youtube8m_tpu.parallel import distributed
+
+    assert distributed.host_shard() == (0, 1)
+    assert distributed.is_master()
+    distributed.initialize()  # no-op single process
