@@ -75,6 +75,7 @@ def finetune(args):
         seed=cfg.seed,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
+        bagging=args.bagging,
     )
     writer = summary_lib.SummaryWriter(cfg.train_dir)
     last_save = time.time()

@@ -75,6 +75,7 @@ def train(args) -> None:
         seed=cfg.seed,
         pad_final_batch=True,  # static shapes for XLA
         use_native=cfg.use_native_io,
+        bagging=args.bagging,
     )
 
     writer = summary_lib.SummaryWriter(cfg.train_dir)

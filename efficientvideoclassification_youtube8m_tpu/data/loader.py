@@ -65,11 +65,19 @@ class FrameDataLoader:
         num_shards: int = 1,
         pad_final_batch: bool = False,
         use_native: bool = True,
+        bagging: bool = False,
     ):
         self.files = sorted(globlib.glob(data_pattern))
         if not self.files:
             raise IOError(f"Unable to find training files. data_pattern='{data_pattern}'")
         self.files = self.files[shard_index::num_shards]
+        if bagging:
+            # bootstrap-resample the shard list with replacement for
+            # ensemble-member diversity (train.py:160-163); the reference
+            # seeds from wall time — here from `seed` for reproducibility
+            brng = np.random.default_rng(seed)
+            self.files = list(brng.choice(self.files, len(self.files),
+                                          replace=True))
         self.batch_size = batch_size
         self.feature_names = list(feature_names)
         self.feature_sizes = list(feature_sizes)

@@ -1,0 +1,66 @@
+"""Summary writer tests: event-file wire format (round-tripped through
+our own proto parser) and the reference's log-line formats."""
+
+import glob
+import struct
+
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.data.proto import iter_fields
+from efficientvideoclassification_youtube8m_tpu.data.tfrecord import TFRecordReader
+from efficientvideoclassification_youtube8m_tpu.utils import summary as summary_lib
+
+
+def _decode_event(buf):
+    out = {"values": []}
+    for fn, wt, v in iter_fields(buf):
+        if fn == 1 and wt == 1:
+            out["wall_time"] = struct.unpack("<d", bytes(v))[0]
+        elif fn == 2 and wt == 0:
+            out["step"] = v
+        elif fn == 3 and wt == 2:
+            out["file_version"] = bytes(v).decode()
+        elif fn == 5 and wt == 2:
+            for sfn, swt, sv in iter_fields(bytes(v)):
+                if sfn == 1 and swt == 2:
+                    tag, val = None, None
+                    for vfn, vwt, vv in iter_fields(bytes(sv)):
+                        if vfn == 1 and vwt == 2:
+                            tag = bytes(vv).decode()
+                        elif vfn == 2 and vwt == 5:
+                            val = struct.unpack("<f", bytes(vv))[0]
+                    out["values"].append((tag, val))
+    return out
+
+
+def test_event_file_roundtrip(tmp_path):
+    w = summary_lib.SummaryWriter(str(tmp_path))
+    w.scalar("model/Training_GAP", 0.75, global_step=42)
+    w.scalar("Epoch/Eval_MAP", 0.5, global_step=42)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = [_decode_event(r) for r in TFRecordReader(files[0])]
+    assert events[0]["file_version"] == "brain.Event:2"
+    assert events[1]["step"] == 42
+    assert events[1]["values"][0][0] == "model/Training_GAP"
+    np.testing.assert_allclose(events[1]["values"][0][1], 0.75)
+    assert events[2]["values"][0] == ("Epoch/Eval_MAP", 0.5)
+
+
+def test_global_step_log_format():
+    """utils.py:74-78 format string parity."""
+    info = {"hit_at_one": 0.5, "perr": 0.25, "loss": 3.141,
+            "examples_per_second": 123.4}
+    line = summary_lib.add_global_step_summary(None, 7, info, "Eval")
+    assert line == ("global_step 7 | Batch Hit@1: 0.500 | Batch PERR: 0.250 "
+                    "| Batch Loss: 3.141 | Examples_per_sec: 123.400")
+
+
+def test_epoch_log_format():
+    """utils.py:122-125 format string parity."""
+    info = {"epoch_id": 3, "avg_hit_at_one": 0.9, "avg_perr": 0.8,
+            "avg_loss": 1.5, "aps": [0.2, 0.4], "gap": 0.7}
+    line = summary_lib.add_epoch_summary(None, 3, info, "Eval")
+    assert line == ("epoch/eval number 3 | Avg_Hit@1: 0.900 | Avg_PERR: 0.800 "
+                    "| MAP: 0.300 | GAP: 0.700 | Avg_Loss: 1.500000")
