@@ -81,6 +81,7 @@ class HierarchicalLstmModel:
         rng: Optional[jax.Array] = None,
         scan_unroll: int = 1,
         use_pallas: bool = False,
+        lstm_custom_vjp: bool = False,
         **classifier_kwargs,
     ) -> Dict[str, Any]:
         B, T, D = model_input.shape
@@ -102,7 +103,8 @@ class HierarchicalLstmModel:
         else:
             def scan_fn(p, xs, seq):
                 return multi_lstm_scan(
-                    p, xs, seq, compute_dtype=compute_dtype, unroll=scan_unroll
+                    p, xs, seq, compute_dtype=compute_dtype, unroll=scan_unroll,
+                    custom_vjp=lstm_custom_vjp,
                 )
 
         # L1: fold chunks into the batch axis -> one shared-weight scan.

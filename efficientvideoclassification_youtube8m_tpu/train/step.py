@@ -54,6 +54,9 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False) -> Dict[str, 
         if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
         "scan_unroll": cfg.scan_unroll,
+        "lstm_custom_vjp": cfg.lstm_custom_vjp
+        and cfg.compute_dtype == "bfloat16"
+        and not inference,
     }
     if inference:
         kw["use_pallas"] = (
