@@ -63,6 +63,7 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False) -> Dict[str, 
             cfg.use_pallas_inference
             and cfg.compute_dtype == "bfloat16"
             and jax.default_backend() == "tpu"
+            and jax.device_count() == 1  # pallas is opaque to GSPMD
         )
     if cfg.video_level_classifier_model == "MoeModel":
         kw["num_mixtures"] = cfg.moe_num_mixtures
@@ -73,12 +74,29 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False) -> Dict[str, 
 
 def preprocess_batch(cfg: TrainConfig, features_u8: jax.Array) -> jax.Array:
     """uint8 [B, T, D] -> l2-normalized f32 (train.py:256 + readers.py
-    Dequantize), fused on device."""
+    Dequantize), fused on device. On TPU the fused Pallas kernel reads
+    the uint8 block once and writes the normalized f32 once (no
+    intermediate HBM round-trip); gradients never flow into the input
+    pipeline, so this also runs in the training step."""
+    # NOTE: pallas_call is opaque to GSPMD — only use it when the program
+    # isn't partitioned over multiple devices (shard_map integration is a
+    # follow-up); single-chip covers the current bench/serving paths.
+    if (
+        getattr(cfg, "use_pallas_inference", False)
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and features_u8.shape[-1] % 128 == 0
+    ):
+        from efficientvideoclassification_youtube8m_tpu.ops.pallas import (
+            dequantize_l2_normalize_pallas,
+        )
+
+        return dequantize_l2_normalize_pallas(features_u8)
     return l2_normalize(dequantize(features_u8), axis=2)
 
 
 def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None,
-                    inference: bool = False):
+                    inference: bool = False, dropout_keep_prob=1.0, rng=None):
     model = get_model(cfg.model)
     return model.apply(
         params,
@@ -87,12 +105,15 @@ def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=No
         num_frames=num_frames,
         num_chunks=cfg.num_inputs_to_lstm,
         labels=labels,
+        dropout_keep_prob=dropout_keep_prob,
+        rng=rng,
         **_model_apply_kwargs(cfg, inference=inference),
     )
 
 
 def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_stud,
-                    labels=None, inference: bool = False):
+                    labels=None, inference: bool = False,
+                    dropout_keep_prob=1.0, rng=None):
     """`create_model_inference` (frame_level_models.py:269-338): same
     architecture on the subsampled frames with num_inputs_L1 chunks."""
     model = get_model(cfg.model)
@@ -103,6 +124,8 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
         num_frames=num_frames_stud,
         num_chunks=cfg.num_inputs_L1,
         labels=labels,
+        dropout_keep_prob=dropout_keep_prob,
+        rng=rng,
         **_model_apply_kwargs(cfg, inference=inference),
     )
 
@@ -157,22 +180,36 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
     step_increment = 2 if cfg.faithful_quirks else 1
 
     def loss_fn(params_t, params_s, model_input, model_input_s, num_frames,
-                nf_student, labels):
-        out_t = forward_teacher(cfg, params_t, model_input, num_frames, labels)
-        out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels)
+                nf_student, labels, keep_prob, rng_t, rng_s):
+        out_t = forward_teacher(cfg, params_t, model_input, num_frames, labels,
+                                dropout_keep_prob=keep_prob, rng=rng_t)
+        out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
+                                dropout_keep_prob=keep_prob, rng=rng_s)
         ls = _distill_losses(cfg, out_t, out_s, labels)
         total = ls["teacher_final_loss"] + ls["total_student_loss"]
         return total, (ls, out_t["predictions"], out_s["predictions"])
+
+    # the reference plumbs a dropout keep-prob variable into every tower
+    # (train.py:278-288); only the *Dropout classifier heads consume it
+    # (quirk 5). rngs are derived from the global step for reproducibility.
+    use_dropout = "Dropout" in cfg.video_level_classifier_model and cfg.dropout < 1.0
 
     def step(state: DistillState, features_u8, labels, num_frames):
         model_input = preprocess_batch(cfg, features_u8)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+        if use_dropout:
+            base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                      state.global_step)
+            rng_t, rng_s = jax.random.split(base)
+        else:
+            rng_t = rng_s = None
 
         grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
         (g_t, g_s), (ls, preds_t, preds_s) = grad_fn(
             state.params_teacher, state.params_student, model_input,
             model_input_s, num_frames, nf_student, labels,
+            state.dropout_keep_prob, rng_t, rng_s,
         )
         # Both towers' schedules read the SAME pre-update global step
         # (deterministic resolution of the reference's read/increment race).
@@ -214,8 +251,11 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
         cfg.learning_rate_decay,
     )
 
-    def loss_fn(params_s, model_input_s, nf_student, labels):
-        out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels)
+    use_dropout = "Dropout" in cfg.video_level_classifier_model and cfg.dropout < 1.0
+
+    def loss_fn(params_s, model_input_s, nf_student, labels, keep_prob, rng):
+        out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
+                                dropout_keep_prob=keep_prob, rng=rng)
         label_loss_fn = losses_lib.get_loss(cfg.label_loss)
         label_loss = out_s.get("loss")
         if label_loss is None:
@@ -229,9 +269,12 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
 
+        rng = (jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                  state.global_step) if use_dropout else None)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         g_s, (label_loss, reg, preds) = grad_fn(
-            state.params_student, model_input_s, nf_student, labels
+            state.params_student, model_input_s, nf_student, labels,
+            state.dropout_keep_prob, rng,
         )
         lr = schedule(state.global_step)
         new_ps, new_os = optimizer.update(
