@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _preprocess_kernel(u8_ref, out_ref, *, scalar: float, bias: float,
                        epsilon: float):
-    x = u8_ref[:].astype(jnp.float32) * scalar + bias
+    # Mosaic has no direct u8->f32 cast; hop through int32.
+    x = u8_ref[:].astype(jnp.int32).astype(jnp.float32) * scalar + bias
     sq = jnp.sum(x * x, axis=-1, keepdims=True)
     out_ref[:] = x * jax.lax.rsqrt(jnp.maximum(sq, epsilon))
 
