@@ -74,24 +74,10 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False) -> Dict[str, 
 
 def preprocess_batch(cfg: TrainConfig, features_u8: jax.Array) -> jax.Array:
     """uint8 [B, T, D] -> l2-normalized f32 (train.py:256 + readers.py
-    Dequantize), fused on device. On TPU the fused Pallas kernel reads
-    the uint8 block once and writes the normalized f32 once (no
-    intermediate HBM round-trip); gradients never flow into the input
-    pipeline, so this also runs in the training step."""
-    # NOTE: pallas_call is opaque to GSPMD — only use it when the program
-    # isn't partitioned over multiple devices (shard_map integration is a
-    # follow-up); single-chip covers the current bench/serving paths.
-    if (
-        getattr(cfg, "use_pallas_inference", False)
-        and jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and features_u8.shape[-1] % 128 == 0
-    ):
-        from efficientvideoclassification_youtube8m_tpu.ops.pallas import (
-            dequantize_l2_normalize_pallas,
-        )
-
-        return dequantize_l2_normalize_pallas(features_u8)
+    Dequantize), fused on device. Measured on v5e: XLA already fuses
+    this chain into one pass (3.5 ms at the flagship batch) and beats the
+    handwritten Pallas version (ops/pallas/preprocess.py, 4.6 ms), so the
+    XLA path is used; the kernel remains as tested infrastructure."""
     return l2_normalize(dequantize(features_u8), axis=2)
 
 
