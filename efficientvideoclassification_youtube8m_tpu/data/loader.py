@@ -208,13 +208,24 @@ class FrameDataLoader:
     def _assemble(self, videos: List, pad: int) -> FrameBatch:
         n = len(videos)
         B = n + pad
-        features = np.zeros((B, self.max_frames, self.total_size), np.uint8)
+        all_padded = all(v.padded for v in videos)
+        if all_padded:
+            # native-parser videos arrive pre-padded: one block copy per
+            # video, no batch-wide memset
+            features = np.empty((B, self.max_frames, self.total_size), np.uint8)
+            if pad:
+                features[n:] = 0
+        else:
+            features = np.zeros((B, self.max_frames, self.total_size), np.uint8)
         labels = np.zeros((B, self.vocab_size), bool)
         num_frames = np.zeros((B,), np.int32)
         ids = []
         for i, v in enumerate(videos):
             nf = v.num_frames
-            features[i, :nf] = v.features[:nf]
+            if all_padded:
+                features[i] = v.features
+            else:
+                features[i, :nf] = v.features[:nf]
             for c in v.labels:
                 if 0 <= c < self.vocab_size:
                     labels[i, c] = True

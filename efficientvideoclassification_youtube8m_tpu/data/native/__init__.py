@@ -114,12 +114,13 @@ def read_frame_file(
     if not reader:
         raise IOError(f"cannot open {path}")
     try:
-        feats = np.empty((batch, max_frames, total), np.uint8)
         num_frames = np.empty((batch,), np.int32)
         labels = np.empty((batch, labels_cap), np.int32)
         num_labels = np.empty((batch,), np.int32)
         ids = ctypes.create_string_buffer(batch * _ID_CAP)
         while True:
+            # fresh buffer per batch so the yielded views stay valid
+            feats = np.empty((batch, max_frames, total), np.uint8)
             n = lib.yt8m_next_batch(
                 reader, batch,
                 feats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -138,8 +139,9 @@ def read_frame_file(
                 yield FrameVideo(
                     video_id=vid.decode("utf-8", "replace"),
                     labels=labels[i, : num_labels[i]].tolist(),
-                    features=feats[i].copy(),
+                    features=feats[i],  # zero-copy view; buffer not reused
                     num_frames=int(num_frames[i]),
+                    padded=True,
                 )
             if n < batch:
                 return

@@ -37,6 +37,10 @@ class FrameVideo:
     labels: List[int]
     features: np.ndarray  # [num_frames(<=max), total_feature_size] uint8
     num_frames: int  # min(true frames, max_frames)
+    # True when `features` is already zero-padded to [max_frames, total]
+    # (the native parser's output) — lets the batch assembler copy one
+    # contiguous block instead of memset + row-slice copy
+    padded: bool = False
 
 
 def parse_frame_record(
