@@ -1,0 +1,103 @@
+"""Fidelity tests against the reference's golden log
+(/root/reference/README.md:88-106): the flagship teacher/student towers
+must have exactly the reference's trainable-variable set — same count,
+same total parameters, same per-variable shapes (modulo the documented
+MoE [D, K, V] re-layout)."""
+
+import jax
+import numpy as np
+
+from efficientvideoclassification_youtube8m_tpu.train import (
+    init_distill_state,
+    make_optimizer,
+)
+from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+
+# The reference's printed variable list for the canonical run
+# (README.md:98,105): name -> TF shape.
+REF_TEACHER_VARS = {
+    "RNN_L1/cell_0/kernel": (1152 + 1024, 4096),
+    "RNN_L1/cell_0/bias": (4096,),
+    "RNN_L1/cell_1/kernel": (1024 + 1024, 4096),
+    "RNN_L1/cell_1/bias": (4096,),
+    "RNN_L2/cell_0/kernel": (4096 + 1024, 4096),
+    "RNN_L2/cell_0/bias": (4096,),
+    "RNN_L2/cell_1/kernel": (1024 + 1024, 4096),
+    "RNN_L2/cell_1/bias": (4096,),
+    "classifier/gates/weights": (4096, 4716 * 3),
+    "classifier/experts/weights": (4096, 4716 * 2),
+    "classifier/experts/biases": (4716 * 2,),
+}
+
+
+def _flagship_params():
+    cfg = TrainConfig()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    return cfg, init_distill_state(cfg, opt)
+
+
+def test_flagship_variable_shapes_match_reference():
+    _, state = _flagship_params()
+    for tower in [state.params_teacher, state.params_student]:
+        got = {}
+        for li, layer in enumerate(tower["rnn_l1"]):
+            got[f"RNN_L1/cell_{li}/kernel"] = tuple(layer["kernel"].shape)
+            got[f"RNN_L1/cell_{li}/bias"] = tuple(layer["bias"].shape)
+        for li, layer in enumerate(tower["rnn_l2"]):
+            got[f"RNN_L2/cell_{li}/kernel"] = tuple(layer["kernel"].shape)
+            got[f"RNN_L2/cell_{li}/bias"] = tuple(layer["bias"].shape)
+        # MoE stored [D, K, V]; the reference layout is the 2-D flatten
+        gw = tower["classifier"]["gates"]["w"]
+        ew = tower["classifier"]["experts"]["w"]
+        eb = tower["classifier"]["experts"]["b"]
+        got["classifier/gates/weights"] = (gw.shape[0], gw.shape[1] * gw.shape[2])
+        got["classifier/experts/weights"] = (ew.shape[0], ew.shape[1] * ew.shape[2])
+        got["classifier/experts/biases"] = (eb.shape[0] * eb.shape[1],)
+
+        assert got == REF_TEACHER_VARS
+        # exactly 11 trainable variables per tower, like the README list
+        assert len(got) == 11
+
+
+def test_flagship_param_count():
+    _, state = _flagship_params()
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params_teacher))
+    want = sum(int(np.prod(s)) for s in REF_TEACHER_VARS.values())
+    assert n == want
+
+
+def test_flagship_forward_shapes():
+    """README.md:93-96,100-103: teacher input (?,300,1152) student
+    (?,30,1152); both towers emit (?,4716) predictions and a 4096-d
+    state."""
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+        student_num_frames,
+        uniform_subsample,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train.step import (
+        forward_student,
+        forward_teacher,
+    )
+
+    cfg, state = _flagship_params()
+    B = 2
+    x = jnp.zeros((B, 300, 1152), jnp.float32)
+    nf = jnp.array([300, 40])
+    out_t = jax.eval_shape(
+        lambda p, x, nf: forward_teacher(cfg, p, x, nf),
+        state.params_teacher, x, nf,
+    )
+    assert tuple(out_t["predictions"].shape) == (B, 4716)
+    assert tuple(out_t["state"].shape) == (B, 4096)
+
+    xs = uniform_subsample(x, cfg.every_n)
+    assert xs.shape == (B, 30, 1152)
+    out_s = jax.eval_shape(
+        lambda p, x, nf: forward_student(cfg, p, x, nf),
+        state.params_student, xs, student_num_frames(nf, cfg.every_n),
+    )
+    assert tuple(out_s["predictions"].shape) == (B, 4716)
+    assert tuple(out_s["state"].shape) == (B, 4096)
