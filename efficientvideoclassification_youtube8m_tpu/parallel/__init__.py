@@ -8,6 +8,7 @@ from efficientvideoclassification_youtube8m_tpu.parallel.mesh import (
     to_named,
 )
 from efficientvideoclassification_youtube8m_tpu.parallel.sharded_step import (
+    build_shardmap_eval_step,
     build_sharded_distill_step,
     build_sharded_eval_step,
     build_sharded_finetune_step,
@@ -24,6 +25,7 @@ __all__ = [
     "shard_batch",
     "shard_state_specs",
     "to_named",
+    "build_shardmap_eval_step",
     "build_sharded_distill_step",
     "build_sharded_eval_step",
     "build_sharded_finetune_step",

@@ -119,3 +119,48 @@ def build_sharded_eval_step(
     )
     fs, ls, ns = _batch_shardings(mesh)
     return jax.jit(step, in_shardings=(ps_shard, fs, ls, ns))
+
+
+def build_shardmap_eval_step(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    top_k: int = 20,
+):
+    """DP eval step via shard_map: each device runs the per-shard program
+    on its local batch slice with replicated params.
+
+    Unlike the GSPMD (jit-with-shardings) path, the per-device program is
+    explicit — which is what lets Pallas kernels (opaque to GSPMD's
+    partitioner) run under a multi-device data-parallel mesh. Metrics
+    concatenate along the batch axis; requires model_parallelism == 1.
+    """
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError("shard_map eval path is data-parallel only")
+    from jax.sharding import PartitionSpec as P
+
+    # per-device programs are explicit under shard_map, so the Pallas
+    # kernels are eligible even with multiple devices
+    use_pallas = (
+        cfg.use_pallas_inference
+        and cfg.compute_dtype == "bfloat16"
+        and jax.default_backend() == "tpu"
+    )
+    step = build_eval_step(cfg, top_k, pallas_override=use_pallas)
+
+    batch_specs = (
+        P(),  # params: replicated
+        P(DATA_AXIS, None, None),  # features
+        P(DATA_AXIS, None),  # labels
+        P(DATA_AXIS),  # num_frames
+    )
+    out_specs = {
+        "predictions": P(DATA_AXIS, None),
+        "per_example_loss": P(DATA_AXIS),
+        "topk_val": P(DATA_AXIS, None),
+        "topk_idx": P(DATA_AXIS, None),
+    }
+    mapped = jax.shard_map(
+        step, mesh=mesh, in_specs=batch_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -47,7 +47,8 @@ from efficientvideoclassification_youtube8m_tpu.train.state import (
 from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 
 
-def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False) -> Dict[str, Any]:
+def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
+                        pallas_override: Optional[bool] = None) -> Dict[str, Any]:
     kw: Dict[str, Any] = {
         "classifier": cfg.video_level_classifier_model,
         "compute_dtype": jnp.bfloat16
@@ -59,12 +60,18 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False) -> Dict[str, 
         and not inference,
     }
     if inference:
-        kw["use_pallas"] = (
-            cfg.use_pallas_inference
-            and cfg.compute_dtype == "bfloat16"
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1  # pallas is opaque to GSPMD
-        )
+        # pallas is opaque to GSPMD, so the jit-with-shardings paths only
+        # use it single-device; the shard_map eval path overrides this
+        # (per-device programs are explicit there).
+        if pallas_override is not None:
+            kw["use_pallas"] = pallas_override
+        else:
+            kw["use_pallas"] = (
+                cfg.use_pallas_inference
+                and cfg.compute_dtype == "bfloat16"
+                and jax.default_backend() == "tpu"
+                and jax.device_count() == 1
+            )
     if cfg.video_level_classifier_model == "MoeModel":
         kw["num_mixtures"] = cfg.moe_num_mixtures
     else:
@@ -99,7 +106,8 @@ def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=No
 
 def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_stud,
                     labels=None, inference: bool = False,
-                    dropout_keep_prob=1.0, rng=None):
+                    dropout_keep_prob=1.0, rng=None,
+                    pallas_override: Optional[bool] = None):
     """`create_model_inference` (frame_level_models.py:269-338): same
     architecture on the subsampled frames with num_inputs_L1 chunks."""
     model = get_model(cfg.model)
@@ -112,7 +120,8 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
         labels=labels,
         dropout_keep_prob=dropout_keep_prob,
         rng=rng,
-        **_model_apply_kwargs(cfg, inference=inference),
+        **_model_apply_kwargs(cfg, inference=inference,
+                              pallas_override=pallas_override),
     )
 
 
@@ -318,7 +327,8 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
     return step
 
 
-def build_eval_step(cfg: TrainConfig, top_k: int = 20):
+def build_eval_step(cfg: TrainConfig, top_k: int = 20,
+                    pallas_override: Optional[bool] = None):
     """Student-only eval (eval_finetune.py:108-176)."""
 
     def step(params_student, features_u8, labels, num_frames):
@@ -326,7 +336,8 @@ def build_eval_step(cfg: TrainConfig, top_k: int = 20):
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
-                                labels, inference=True)
+                                labels, inference=True,
+                                pallas_override=pallas_override)
         eps = 10e-6
         fl = labels.astype(jnp.float32)
         per_example_loss = -jnp.sum(

@@ -158,3 +158,30 @@ def test_host_shard_single_process():
     assert distributed.host_shard() == (0, 1)
     assert distributed.is_master()
     distributed.initialize()  # no-op single process
+
+
+def test_shardmap_eval_matches_jit_eval():
+    """The explicit shard_map DP eval path (the one that can host Pallas
+    kernels) must match the GSPMD jit path."""
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_shardmap_eval_step,
+    )
+
+    cfg = CFG
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    sstate = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    mesh = create_mesh()
+    feats, labels, nf = _batch(cfg, seed=2)
+    params = jax.device_put(sstate.params_student)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+
+    jit_step = build_sharded_eval_step(cfg, mesh, sstate.params_student, top_k=5)
+    sm_step = build_shardmap_eval_step(cfg, mesh, top_k=5)
+    out_a = jit_step(params, f, l, n)
+    out_b = sm_step(params, f, l, n)
+    np.testing.assert_allclose(
+        np.asarray(out_a["predictions"]), np.asarray(out_b["predictions"]),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_a["per_example_loss"]),
+        np.asarray(out_b["per_example_loss"]), rtol=1e-4)
