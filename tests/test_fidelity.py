@@ -101,3 +101,28 @@ def test_flagship_forward_shapes():
     )
     assert tuple(out_s["predictions"].shape) == (B, 4716)
     assert tuple(out_s["state"].shape) == (B, 4096)
+
+
+def test_init_teacher_loss_matches_golden_log():
+    """The reference's golden log shows Teacher_Loss ~1914 at step 2
+    (README.md:116) — the analytic CE of the freshly-initialized MoE head
+    (gates ~uniform 1/3, experts sigmoid(0)=0.5 -> p~=1/3 per class:
+    4716 * -log(2/3) ~= 1912). Our init must land there too."""
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu import losses as L
+    from efficientvideoclassification_youtube8m_tpu.train.step import (
+        forward_teacher,
+    )
+
+    cfg, state = _flagship_params()
+    B = 4
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, 300, 1152)).astype(np.float32))
+    nf = jnp.full((B,), 300, jnp.int32)
+    labels = np.zeros((B, 4716), bool)
+    labels[:, :4] = True
+    out = forward_teacher(cfg, state.params_teacher, x, nf)
+    ce = float(L.get_loss("CrossEntropyLoss")(out["predictions"],
+                                              jnp.asarray(labels)))
+    assert 1880 < ce < 1950, ce
