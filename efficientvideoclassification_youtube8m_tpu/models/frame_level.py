@@ -88,24 +88,32 @@ class HierarchicalLstmModel:
         assert T % num_chunks == 0, (T, num_chunks)
         chunk_len = T // num_chunks
 
+        def xla_scan_fn(p, xs, seq):
+            return multi_lstm_scan(
+                p, xs, seq, compute_dtype=compute_dtype, unroll=scan_unroll,
+                custom_vjp=lstm_custom_vjp,
+            )
+
         if use_pallas:
             # fused inference kernel (forward-only, bf16):
-            # ops/pallas/lstm_scan.py
+            # ops/pallas/lstm_scan.py. Mosaic needs batch tiles with a
+            # multiple-of-8 sublane dim — fall back to the XLA scan for
+            # odd batch sizes.
             from efficientvideoclassification_youtube8m_tpu.ops.pallas import (
                 multi_lstm_scan_pallas,
             )
 
             def scan_fn(p, xs, seq):
                 bsz = xs.shape[0]
-                tile = 256 if bsz % 256 == 0 else (
-                    128 if bsz % 128 == 0 else (8 if bsz % 8 == 0 else 1))
+                tile = next(
+                    (t for t in (512, 256, 128, 64, 32, 16, 8) if bsz % t == 0),
+                    None,
+                )
+                if tile is None:
+                    return xla_scan_fn(p, xs, seq)
                 return multi_lstm_scan_pallas(p, xs, seq, tile_b=tile)
         else:
-            def scan_fn(p, xs, seq):
-                return multi_lstm_scan(
-                    p, xs, seq, compute_dtype=compute_dtype, unroll=scan_unroll,
-                    custom_vjp=lstm_custom_vjp,
-                )
+            scan_fn = xla_scan_fn
 
         # L1: fold chunks into the batch axis -> one shared-weight scan.
         x_chunks = model_input.reshape(B * num_chunks, chunk_len, D)
@@ -284,29 +292,145 @@ class DbofModel:
         return result
 
 
+def _frame_mask(num_frames, T: int):
+    """[B, T, 1] float mask of true frames."""
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    return (t < num_frames.astype(jnp.int32)[:, None]).astype(jnp.float32)[
+        :, :, None
+    ]
+
+
 @register_model("NetVLADModel")
 class NetVLADModel:
-    """Declared-but-unimplemented in the reference ("Upcoming",
-    frame_level_models.py:341-347); kept as an explicit stub for parity."""
+    """NetVLAD aggregation (the reference declares this "Upcoming" and
+    stubs it, frame_level_models.py:341-347 — implemented here for real).
+
+    Soft-assign each frame to K learned clusters, aggregate assignment-
+    weighted residuals against the cluster centers, intra-normalize per
+    cluster, flatten + l2-normalize, hidden FC, video-level classifier.
+    Frames past num_frames are masked out of the assignment. Everything
+    is batched matmuls/einsums — MXU-native.
+    """
 
     @staticmethod
-    def init(key, input_size: int, vocab_size: int, **_):
-        raise NotImplementedError("NetVLADModel is a stub in the reference too")
+    def init(key, input_size: int, vocab_size: int, vlad_clusters: int = 64,
+             hidden_size: int = 1024, classifier: str = "MoeModel",
+             classifier_kwargs: Optional[dict] = None, **_):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        cls = get_model(classifier)
+        return {
+            "assign": dense_init(k1, input_size, vlad_clusters),
+            "centers": (1.0 / math.sqrt(input_size))
+            * jax.random.normal(k2, (vlad_clusters, input_size)),
+            "hidden": dense_init(k3, vlad_clusters * input_size, hidden_size),
+            "classifier": cls.init(
+                k4, hidden_size, vocab_size, **(classifier_kwargs or {})
+            ),
+        }
 
     @staticmethod
-    def apply(params, model_input, vocab_size: int, **_):
-        raise NotImplementedError("NetVLADModel is a stub in the reference too")
+    def apply(params, model_input, vocab_size: int, num_frames=None,
+              classifier: str = "MoeModel", l2_penalty: float = 1e-8,
+              **classifier_kwargs) -> Dict[str, Any]:
+        B, T, D = model_input.shape
+        K = params["centers"].shape[0]
+        mask = _frame_mask(num_frames, T)  # [B, T, 1]
+        assign = jax.nn.softmax(dense(params["assign"], model_input), axis=-1)
+        assign = assign * mask  # [B, T, K]
+
+        # vlad[b,k,d] = sum_t a[b,t,k] x[b,t,d] - (sum_t a[b,t,k]) c[k,d]
+        weighted = jnp.einsum("btk,btd->bkd", assign, model_input)
+        a_sum = jnp.sum(assign, axis=1)  # [B, K]
+        vlad = weighted - a_sum[:, :, None] * params["centers"][None]
+        # intra-normalization per cluster, then global l2 over the flat code
+        vlad = vlad * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(vlad * vlad, axis=2, keepdims=True), 1e-12)
+        )
+        flat = vlad.reshape(B, K * D)
+        flat = flat * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(flat * flat, axis=1, keepdims=True), 1e-12)
+        )
+        act = jax.nn.relu(dense(params["hidden"], flat))
+
+        cls = get_model(classifier)
+        result = cls.apply(params["classifier"], act, vocab_size=vocab_size,
+                           **classifier_kwargs)
+        reg = result.get("regularization_loss", 0.0) + l2_penalty * (
+            l2_loss(params["assign"]["w"]) + l2_loss(params["hidden"]["w"])
+        )
+        result["regularization_loss"] = reg
+        return result
 
 
 @register_model("NeXtVLADModel")
 class NeXtVLADModel:
-    """Declared-but-unimplemented in the reference
-    (frame_level_models.py:349-355)."""
+    """NeXtVLAD (Lin et al. 2018) — grouped, attention-gated NetVLAD
+    (the reference stubs it, frame_level_models.py:349-355).
+
+    Expand D -> lambda*D, split into G groups, per-(frame,group) sigmoid
+    attention, shared soft-assignment over K clusters, aggregate grouped
+    residuals -> [K, lambda*D/G] code, intra-norm, flatten, hidden FC.
+    """
 
     @staticmethod
-    def init(key, input_size: int, vocab_size: int, **_):
-        raise NotImplementedError("NeXtVLADModel is a stub in the reference too")
+    def init(key, input_size: int, vocab_size: int, vlad_clusters: int = 64,
+             expansion: int = 2, groups: int = 8, hidden_size: int = 1024,
+             classifier: str = "MoeModel",
+             classifier_kwargs: Optional[dict] = None, **_):
+        assert (expansion * input_size) % groups == 0
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+        expanded = expansion * input_size
+        group_dim = expanded // groups
+        cls = get_model(classifier)
+        return {
+            "expand": dense_init(k1, input_size, expanded),
+            "attention": dense_init(k2, expanded, groups),
+            "assign": dense_init(k3, expanded, groups * vlad_clusters),
+            "centers": (1.0 / math.sqrt(group_dim))
+            * jax.random.normal(k4, (vlad_clusters, group_dim)),
+            "hidden": dense_init(k5, vlad_clusters * group_dim, hidden_size),
+            "classifier": cls.init(
+                k6, hidden_size, vocab_size, **(classifier_kwargs or {})
+            ),
+        }
 
     @staticmethod
-    def apply(params, model_input, vocab_size: int, **_):
-        raise NotImplementedError("NeXtVLADModel is a stub in the reference too")
+    def apply(params, model_input, vocab_size: int, num_frames=None,
+              groups: int = 8, classifier: str = "MoeModel",
+              l2_penalty: float = 1e-8, **classifier_kwargs) -> Dict[str, Any]:
+        B, T, D = model_input.shape
+        K = params["centers"].shape[0]
+        mask = _frame_mask(num_frames, T)  # [B, T, 1]
+
+        x = dense(params["expand"], model_input)  # [B, T, E]
+        E = x.shape[-1]
+        G = groups
+        gd = E // G
+        attn = jax.nn.sigmoid(dense(params["attention"], x)) * mask  # [B,T,G]
+        assign = jax.nn.softmax(
+            dense(params["assign"], x).reshape(B, T, G, K), axis=-1
+        )
+        a = assign * attn[:, :, :, None]  # [B, T, G, K]
+
+        xg = x.reshape(B, T, G, gd)
+        weighted = jnp.einsum("btgk,btgd->bkd", a, xg)
+        a_sum = jnp.sum(a, axis=(1, 2))  # [B, K]
+        vlad = weighted - a_sum[:, :, None] * params["centers"][None]
+        vlad = vlad * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(vlad * vlad, axis=2, keepdims=True), 1e-12)
+        )
+        flat = vlad.reshape(B, K * gd)
+        flat = flat * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(flat * flat, axis=1, keepdims=True), 1e-12)
+        )
+        act = jax.nn.relu(dense(params["hidden"], flat))
+
+        cls = get_model(classifier)
+        result = cls.apply(params["classifier"], act, vocab_size=vocab_size,
+                           **classifier_kwargs)
+        reg = result.get("regularization_loss", 0.0) + l2_penalty * (
+            l2_loss(params["expand"]["w"]) + l2_loss(params["assign"]["w"])
+            + l2_loss(params["hidden"]["w"])
+        )
+        result["regularization_loss"] = reg
+        return result
