@@ -113,10 +113,22 @@ class FrameDataLoader:
                     record, self.feature_names, self.feature_sizes, self.max_frames
                 )
 
-    def _reader_thread(self, file_q: "queue.Queue", video_q: "queue.Queue"):
+    def _file_stream(self, rng: random.Random) -> Iterator[str]:
+        """Epoch-concatenated (optionally per-epoch shuffled) file paths;
+        infinite when num_epochs is None (string_input_producer
+        semantics)."""
+        epoch = 0
+        while self.num_epochs is None or epoch < self.num_epochs:
+            shard_list = list(self.files)
+            if self.shuffle:
+                rng.shuffle(shard_list)
+            yield from shard_list
+            epoch += 1
+
+    def _reader_thread(self, next_file, video_q: "queue.Queue"):
         while True:
-            path = file_q.get()
-            if path is _STOP:
+            path = next_file()
+            if path is None:
                 video_q.put(_STOP)
                 return
             try:
@@ -128,81 +140,57 @@ class FrameDataLoader:
 
     def __iter__(self) -> Iterator[FrameBatch]:
         rng = random.Random(self.seed)
-        epoch = 0
-        file_q: "queue.Queue" = queue.Queue()
         video_q: "queue.Queue" = queue.Queue(maxsize=max(50 * self.batch_size, 256))
+        file_iter = self._file_stream(rng)
+        file_lock = threading.Lock()
 
-        files = []
-        while self.num_epochs is None or epoch < self.num_epochs:
-            shard_list = list(self.files)
-            if self.shuffle:
-                rng.shuffle(shard_list)
-            files.extend(shard_list)
-            epoch += 1
-            if self.num_epochs is None and epoch > 0:
-                break  # infinite: threads re-enqueue below
-        infinite = self.num_epochs is None
+        def next_file():
+            with file_lock:
+                return next(file_iter, None)
 
-        for f in files:
-            file_q.put(f)
         threads = [
             threading.Thread(
-                target=self._reader_thread, args=(file_q, video_q), daemon=True
+                target=self._reader_thread, args=(next_file, video_q), daemon=True
             )
             for _ in range(self.num_readers)
         ]
-        if not infinite:
-            for _ in threads:
-                file_q.put(_STOP)
         for t in threads:
             t.start()
 
         buffer: List[yt8m.FrameVideo] = []
         finished_readers = 0
         exhausted = False
-        try:
-            while True:
-                while not exhausted and len(buffer) < (
-                    self.shuffle_buffer if self.shuffle else self.batch_size
-                ):
-                    item = video_q.get()
-                    if item is _STOP:
-                        finished_readers += 1
-                        if finished_readers == len(threads):
-                            if infinite:
-                                # refill for another pass
-                                shard_list = list(self.files)
-                                if self.shuffle:
-                                    rng.shuffle(shard_list)
-                                for f in shard_list:
-                                    file_q.put(f)
-                                finished_readers = 0
-                            else:
-                                exhausted = True
-                    elif isinstance(item, Exception):
-                        raise item
-                    else:
-                        buffer.append(item)
-                if not buffer:
-                    return
-                take = min(self.batch_size, len(buffer))
-                if self.shuffle:
-                    picked = [
-                        buffer.pop(rng.randrange(len(buffer))) for _ in range(take)
-                    ]
+        while True:
+            while not exhausted and len(buffer) < (
+                self.shuffle_buffer if self.shuffle else self.batch_size
+            ):
+                item = video_q.get()
+                if item is _STOP:
+                    finished_readers += 1
+                    if finished_readers == len(threads):
+                        exhausted = True
+                elif isinstance(item, Exception):
+                    raise item
                 else:
-                    picked, buffer = buffer[:take], buffer[take:]
-                if take < self.batch_size and not self.pad_final_batch and exhausted:
-                    yield self._assemble(picked, pad=0)
-                    return
-                yield self._assemble(
-                    picked,
-                    pad=(self.batch_size - take) if self.pad_final_batch else 0,
-                )
-                if exhausted and not buffer:
-                    return
-        finally:
-            pass
+                    buffer.append(item)
+            if not buffer:
+                return
+            take = min(self.batch_size, len(buffer))
+            if self.shuffle:
+                picked = [
+                    buffer.pop(rng.randrange(len(buffer))) for _ in range(take)
+                ]
+            else:
+                picked, buffer = buffer[:take], buffer[take:]
+            if take < self.batch_size and not self.pad_final_batch and exhausted:
+                yield self._assemble(picked, pad=0)
+                return
+            yield self._assemble(
+                picked,
+                pad=(self.batch_size - take) if self.pad_final_batch else 0,
+            )
+            if exhausted and not buffer:
+                return
 
     # ------------------------------------------------------------------
     def _assemble(self, videos: List, pad: int) -> FrameBatch:

@@ -270,3 +270,34 @@ def test_loader_sharding(shard_dir):
 def test_loader_missing_files():
     with pytest.raises(IOError):
         FrameDataLoader("/nonexistent/*.tfrecord", batch_size=4)
+
+
+def test_loader_infinite_epochs(shard_dir):
+    """num_epochs=None cycles forever (string_input_producer semantics)."""
+    d, truths = shard_dir
+    total = sum(len(t) for t in truths.values())
+    loader = FrameDataLoader(
+        str(d / "*.tfrecord"), batch_size=4, feature_names=("rgb", "audio"),
+        feature_sizes=(6, 2), max_frames=20, vocab_size=40, num_epochs=None,
+        shuffle=True, num_readers=1, use_native=False)
+    it = iter(loader)
+    seen = 0
+    for _ in range(2 * total // 4 + 2):  # more than two epochs of batches
+        batch = next(it)
+        seen += len(batch.video_ids) - batch.pad
+    assert seen > total  # wrapped past one epoch
+
+
+def test_step_timer():
+    from efficientvideoclassification_youtube8m_tpu.utils.profiling import (
+        StepTimer,
+    )
+
+    t = StepTimer(window=3)
+    assert t.stats() == {}
+    for _ in range(5):
+        t.start()
+        t.stop(examples=10)
+    stats = t.stats()
+    assert set(stats) == {"p50_ms", "p90_ms", "mean_ms"}
+    assert len(t._times) == 3
