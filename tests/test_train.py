@@ -288,3 +288,20 @@ def test_checkpoint_roundtrip_and_surgery(tmp_path):
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         restored_s.params_student, state2.params_student)
+
+
+def test_distill_overfits_one_batch():
+    """Learning sanity: both towers memorize a fixed batch (teacher
+    Hit@1 -> 1.0) — end-to-end signal through preprocess, both scans,
+    MoE, losses, clipping, Adam, and the LR schedule."""
+    cfg = TINY.replace(base_learning_rate=0.02)
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    step = jax.jit(build_distill_train_step(cfg, opt, top_k=5))
+    feats, labels, nf = _tiny_batch(cfg, seed=11)
+    for _ in range(80):
+        state, metrics = step(state, feats, labels, nf)
+    topk_idx = np.asarray(metrics["topk_idx"])
+    lab = np.asarray(labels)
+    hits = [lab[i, topk_idx[i, 0]] for i in range(cfg.batch_size)]
+    assert np.mean(hits) >= 0.75, np.mean(hits)
