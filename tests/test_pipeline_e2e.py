@@ -77,6 +77,22 @@ def test_01_train(pipeline_dirs):
     assert glob.glob(os.path.join(pipeline_dirs["train_dir"], "events.out.*"))
 
 
+def test_01b_train_resume(pipeline_dirs):
+    """Relaunching WITHOUT start_new_model resumes from the latest
+    checkpoint (train.py:470-475 recover_model semantics)."""
+    from efficientvideoclassification_youtube8m_tpu.cli import train as train_cli
+    from efficientvideoclassification_youtube8m_tpu.train import latest_checkpoint
+
+    train_cli.main(TINY_FLAGS + [
+        "--train_dir", pipeline_dirs["train_dir"],
+        "--train_data_pattern", pipeline_dirs["train_pattern"],
+        "--num_epochs", "1",
+    ])
+    ckpt = latest_checkpoint(pipeline_dirs["train_dir"])
+    # 12 (from the first run) + 24/8*2 more
+    assert ckpt.endswith("model.ckpt-18.msgpack"), ckpt
+
+
 def test_02_validate(pipeline_dirs):
     from efficientvideoclassification_youtube8m_tpu.cli import validate as val_cli
 
