@@ -151,7 +151,12 @@ def _lstm_layer_scan(
         valid = (t < seq_len)[:, None]
         c = jnp.where(valid, new_c, c)
         h = jnp.where(valid, new_h, h)
-        out = jnp.where(valid, new_h, 0.0)
+        # per-step outputs only feed the next layer's (bf16) matmul, so
+        # stack them in compute precision — halves the largest stacked
+        # tensor's HBM traffic in bf16 mode ([T, B, H] per layer)
+        out = jnp.where(valid, new_h, 0.0).astype(
+            compute_dtype if low_precision else acc_dtype
+        )
         return (c, h), out
 
     (c_fin, h_fin), outs = jax.lax.scan(
@@ -207,15 +212,15 @@ def _lstm_layer_fwd_impl(kernel, bias, xs, seq_len, forget_bias, unroll):
         valid = (t < seq_len)[:, None]
         c = jnp.where(valid, new_c, c)
         h = jnp.where(valid, new_h, h)
-        out = jnp.where(valid, new_h, 0.0)
-        return (c, h), (out, gates.astype(jnp.bfloat16), c)
+        out = jnp.where(valid, new_h, 0.0).astype(jnp.bfloat16)
+        return (c, h), (out, gates.astype(jnp.bfloat16), c.astype(jnp.bfloat16))
 
     (c_fin, h_fin), (outs, gates_all, cs_all) = jax.lax.scan(
         step, (c0, h0), (jnp.swapaxes(x_proj, 0, 1), ts), unroll=unroll
     )
-    outs = jnp.swapaxes(outs, 0, 1)  # [B, T, H]
+    outs = jnp.swapaxes(outs, 0, 1)  # [B, T, H] bf16
     gates_all = jnp.swapaxes(gates_all, 0, 1)  # [B, T, 4H] bf16
-    cs_all = jnp.swapaxes(cs_all, 0, 1)  # [B, T, H] f32 (masked c_t)
+    cs_all = jnp.swapaxes(cs_all, 0, 1)  # [B, T, H] bf16 (masked c_t)
     return (outs, c_fin, h_fin), (gates_all, cs_all)
 
 
@@ -258,6 +263,9 @@ def make_lstm_layer_custom_vjp(forget_bias: float = 1.0, unroll: int = 1):
         def step(carry, inp):
             dc, dh = carry
             g_t, c_prev_t, c_t, d_out_t, t = inp
+            c_prev_t = c_prev_t.astype(jnp.float32)
+            c_t = c_t.astype(jnp.float32)
+            d_out_t = d_out_t.astype(jnp.float32)
             gates = g_t.astype(jnp.float32)
             i, j, f, o = jnp.split(gates, 4, axis=-1)
             sig_i = jax.nn.sigmoid(i)
@@ -314,7 +322,7 @@ def make_lstm_layer_custom_vjp(forget_bias: float = 1.0, unroll: int = 1):
             flat_dg, w_x,
             dimension_numbers=(((1,), (1,)), ((), ())),  # @ w_x^T
             preferred_element_type=jnp.float32,
-        ).reshape(B, T, D)
+        ).reshape(B, T, D).astype(xs.dtype)
         return d_kernel, d_bias, d_xs, None
 
     layer.defvjp(fwd, bwd)
