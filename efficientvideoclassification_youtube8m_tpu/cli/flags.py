@@ -38,6 +38,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--every_n", type=int, default=10)
     p.add_argument("--label_loss", default="CrossEntropyLoss")
+    p.add_argument("--class_counts_file", default="",
+                   help="per-class counts file for CrossEntropyLossClassImbalance")
     p.add_argument("--dropout", type=float, default=1.0)
     p.add_argument("--regularization_penalty", type=float, default=1.0)
     p.add_argument("--base_learning_rate", type=float, default=0.001)

@@ -29,6 +29,26 @@ import jax
 import jax.numpy as jnp
 
 from efficientvideoclassification_youtube8m_tpu import losses as losses_lib
+
+
+def resolve_label_loss(cfg: TrainConfig):
+    """Loss fn from the registry, with file-backed extras bound.
+
+    `CrossEntropyLossClassImbalance` reads per-class counts from a
+    `counts_tv` file in the reference (losses.py:107); here the path
+    comes from cfg.class_counts_file (one integer per line).
+    """
+    fn = losses_lib.get_loss(cfg.label_loss)
+    if cfg.label_loss == "CrossEntropyLossClassImbalance":
+        path = getattr(cfg, "class_counts_file", "") or "counts_tv"
+        with open(path) as f:
+            counts = [int(line) for line in f if line.strip()]
+
+        def bound(predictions, labels, **kw):
+            return fn(predictions, labels, class_counts=counts, **kw)
+
+        return bound
+    return fn
 from efficientvideoclassification_youtube8m_tpu.models import get_model
 from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
     dequantize,
@@ -127,7 +147,7 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
 
 def _distill_losses(cfg: TrainConfig, out_t, out_s, labels):
     """All six scalars of the reference's train graph (train.py:294-406)."""
-    label_loss_fn = losses_lib.get_loss(cfg.label_loss)
+    label_loss_fn = resolve_label_loss(cfg)
 
     teacher_label_loss = out_t.get("loss")
     if teacher_label_loss is None:
@@ -251,7 +271,7 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
     def loss_fn(params_s, model_input_s, nf_student, labels, keep_prob, rng):
         out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
                                 dropout_keep_prob=keep_prob, rng=rng)
-        label_loss_fn = losses_lib.get_loss(cfg.label_loss)
+        label_loss_fn = resolve_label_loss(cfg)
         label_loss = out_s.get("loss")
         if label_loss is None:
             label_loss = label_loss_fn(out_s["predictions"], labels)

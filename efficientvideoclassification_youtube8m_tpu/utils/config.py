@@ -68,6 +68,7 @@ class TrainConfig:
     sample_random_frames: bool = True
 
     # eval / inference (validate.py:60-61, inference_*.py)
+    class_counts_file: str = ""  # for CrossEntropyLossClassImbalance (counts_tv)
     top_k: int = 20
     run_once: bool = False
 

@@ -305,3 +305,16 @@ def test_distill_overfits_one_batch():
     lab = np.asarray(labels)
     hits = [lab[i, topk_idx[i, 0]] for i in range(cfg.batch_size)]
     assert np.mean(hits) >= 0.75, np.mean(hits)
+
+
+def test_class_imbalance_loss_via_counts_file(tmp_path):
+    cfg = TINY.replace(label_loss="CrossEntropyLossClassImbalance",
+                       class_counts_file=str(tmp_path / "counts_tv"))
+    with open(cfg.class_counts_file, "w") as f:
+        f.write("\n".join(str(1000 + i) for i in range(cfg.num_classes)))
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    step = jax.jit(build_distill_train_step(cfg, opt, top_k=5))
+    feats, labels, nf = _tiny_batch(cfg, seed=12)
+    _, metrics = step(state, feats, labels, nf)
+    assert np.isfinite(float(metrics["teacher_label_loss"]))
