@@ -147,10 +147,10 @@ def lstm_chunk_scan_pallas(
                          memory_space=pltpu.VMEM),  # bias
             pl.BlockSpec((H, G), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),  # w_h (grid-invariant)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x_proj (streamed)
+            pl.BlockSpec(memory_space=pl.ANY),  # x_proj (streamed)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # outs (streamed)
+            pl.BlockSpec(memory_space=pl.ANY),  # outs (streamed)
             pl.BlockSpec((tile_b, H), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, H), lambda i: (i, 0),
