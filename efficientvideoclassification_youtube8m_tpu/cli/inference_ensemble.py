@@ -27,7 +27,7 @@ from efficientvideoclassification_youtube8m_tpu.data import (
 )
 from efficientvideoclassification_youtube8m_tpu.ensemble import (
     format_lines,
-    load_old_predictions,
+    PredictionStore,
     write_predictions_csv,
 )
 from efficientvideoclassification_youtube8m_tpu.models import get_model
@@ -52,10 +52,14 @@ def inference(args):
     logger.info("ensemble head: %s (input %d)", head_name, head_input)
 
     @jax.jit
-    def run_head(params, features, old_predictions):
+    def run_head(params, features, old_predictions, num_frames):
         if features.dtype == jnp.uint8:
-            # frame-level input: mean-pool into a video-level vector
-            model_input = preprocess_batch(cfg, features).mean(axis=1)
+            # frame-level input: mean-pool the TRUE frames into a
+            # video-level vector (padding is zeroed by preprocess_batch;
+            # divide by num_frames, not max_frames)
+            x = preprocess_batch(cfg, features, num_frames)
+            denom = jnp.maximum(num_frames.astype(jnp.float32), 1.0)
+            model_input = jnp.sum(x, axis=1) / denom[:, None]
         else:
             model_input = features
         out = head.apply(
@@ -83,25 +87,24 @@ def inference(args):
     loader = loader_cls(args.input_data_pattern, **loader_kwargs)
 
     # the head's "vocab_size" is K for the weight-over-models heads
-    import glob as globlib
-
-    params_vocab = len(sorted(globlib.glob(args.preds_pattern)))
+    store = PredictionStore(args.preds_pattern, cfg.num_classes)
+    params_vocab = store.num_models
 
     def rows():
         num_examples_processed = 0
         start_time = time.time()
         for batch in loader:
             valid = len(batch.video_ids) - batch.pad
-            old = load_old_predictions(
-                args.preds_pattern, batch.video_ids[:valid], cfg.num_classes
-            )
+            old = store.assemble(batch.video_ids[:valid])
             if batch.pad:
                 old = np.concatenate(
                     [old, np.zeros((batch.pad,) + old.shape[1:], old.dtype)]
                 )
+            nf = (batch.num_frames if args.frame_features
+                  else np.ones(len(batch.video_ids), np.int32))
             preds = np.asarray(
                 run_head(head_params, jnp.asarray(batch.features),
-                         jnp.asarray(old))
+                         jnp.asarray(old), jnp.asarray(nf))
             )[:valid]
             num_examples_processed += valid
             logger.info("num examples processed: %d elapsed seconds: %.2f",

@@ -18,7 +18,7 @@ import numpy as np
 
 from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
 from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
-from efficientvideoclassification_youtube8m_tpu.metrics import EvaluationMetrics
+from efficientvideoclassification_youtube8m_tpu.metrics import train_step_metrics
 from efficientvideoclassification_youtube8m_tpu.train import (
     init_distill_state,
     latest_checkpoint,
@@ -73,7 +73,7 @@ def train(args) -> None:
         num_epochs=cfg.num_epochs,
         shuffle=True,
         seed=cfg.seed,
-        pad_final_batch=True,  # static shapes for XLA
+        drop_remainder=True,  # static shapes, no fabricated rows
         use_native=cfg.use_native_io,
         bagging=args.bagging,
     )
@@ -97,10 +97,8 @@ def train(args) -> None:
             seconds_per_batch = time.time() - batch_start_time
             examples_per_second = batch.labels.shape[0] / seconds_per_batch
 
-            em = EvaluationMetrics(cfg.num_classes, args.top_k)
-            info = em.accumulate_topk(topk_val, topk_idx, batch.labels,
-                                      np.zeros(batch.labels.shape[0]))
-            gap = em.get()["gap"]
+            info = train_step_metrics(topk_val, topk_idx, batch.labels)
+            gap = info["gap"]
             loss_val = float(metrics["teacher_label_loss"])
             logger.info(
                 "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| "

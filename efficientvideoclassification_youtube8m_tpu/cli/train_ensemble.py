@@ -20,7 +20,7 @@ import flax.serialization
 
 from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
 from efficientvideoclassification_youtube8m_tpu.data import AggregatedDataLoader
-from efficientvideoclassification_youtube8m_tpu.ensemble import load_old_predictions
+from efficientvideoclassification_youtube8m_tpu.ensemble import PredictionStore
 from efficientvideoclassification_youtube8m_tpu import losses as losses_lib
 from efficientvideoclassification_youtube8m_tpu.models import get_model
 from efficientvideoclassification_youtube8m_tpu.train.optimizer import (
@@ -36,11 +36,8 @@ def train_ensemble(args):
     import jax.numpy as jnp
 
     cfg = flags_lib.config_from_args(args)
-    import glob as globlib
-
-    num_models = len(sorted(globlib.glob(args.preds_pattern)))
-    if num_models == 0:
-        raise IOError(f"no prediction files match {args.preds_pattern!r}")
+    store = PredictionStore(args.preds_pattern, cfg.num_classes)
+    num_models = store.num_models
     head = get_model(args.model)
     # the weight-over-models heads size their output by K (SURVEY §2.2)
     head_params = head.init(
@@ -89,8 +86,7 @@ def train_ensemble(args):
             seed=cfg.seed + epoch,
         )
         for batch in loader:
-            old = load_old_predictions(args.preds_pattern, batch.video_ids,
-                                       cfg.num_classes)
+            old = store.assemble(batch.video_ids)
             head_params, opt_state, loss, _ = step(
                 head_params, opt_state, gstep,
                 jnp.asarray(batch.features), jnp.asarray(old),

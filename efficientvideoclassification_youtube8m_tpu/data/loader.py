@@ -64,6 +64,7 @@ class FrameDataLoader:
         shard_index: int = 0,
         num_shards: int = 1,
         pad_final_batch: bool = False,
+        drop_remainder: bool = False,
         use_native: bool = True,
         bagging: bool = False,
     ):
@@ -90,6 +91,7 @@ class FrameDataLoader:
         self.shuffle_buffer = shuffle_buffer or 5 * batch_size
         self.seed = seed
         self.pad_final_batch = pad_final_batch
+        self.drop_remainder = drop_remainder
 
         self._native = None
         if use_native:
@@ -139,9 +141,14 @@ class FrameDataLoader:
                 return
 
     def __iter__(self) -> Iterator[FrameBatch]:
-        rng = random.Random(self.seed)
+        # distinct Random instances: the file stream's is advanced inside
+        # reader threads (under file_lock) while the consumer thread draws
+        # from the shuffle buffer — sharing one would race and break the
+        # seeded determinism
+        file_rng = random.Random(self.seed)
+        rng = random.Random(self.seed + 1)
         video_q: "queue.Queue" = queue.Queue(maxsize=max(50 * self.batch_size, 256))
-        file_iter = self._file_stream(rng)
+        file_iter = self._file_stream(file_rng)
         file_lock = threading.Lock()
 
         def next_file():
@@ -176,6 +183,10 @@ class FrameDataLoader:
             if not buffer:
                 return
             take = min(self.batch_size, len(buffer))
+            if take < self.batch_size and self.drop_remainder and exhausted:
+                # keep XLA shapes static without training on fabricated
+                # padding rows: skip the tail (< one batch per epoch)
+                return
             if self.shuffle:
                 picked = [
                     buffer.pop(rng.randrange(len(buffer))) for _ in range(take)

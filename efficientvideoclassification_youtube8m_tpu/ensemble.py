@@ -53,23 +53,42 @@ def read_pred_file(filename: str) -> Dict[str, Tuple[List[int], List[float]]]:
     return out
 
 
+class PredictionStore:
+    """K prediction CSVs parsed ONCE, assembled per batch.
+
+    (inference_ensemble.py:169-191 parses once before its loop too; a
+    naive per-batch reload would re-parse hundreds of MB per step at
+    Kaggle scale.)"""
+
+    def __init__(self, preds_pattern: str, num_classes: int = 4716):
+        self.files = sorted(globlib.glob(preds_pattern))
+        if not self.files:
+            raise IOError(f"no prediction files match {preds_pattern!r}")
+        self.num_classes = num_classes
+        self._dicts = [read_pred_file(f) for f in self.files]
+
+    @property
+    def num_models(self) -> int:
+        return len(self.files)
+
+    def assemble(self, video_ids: Sequence[str]) -> np.ndarray:
+        """[B, K, num_classes] old_predictions for a batch of ids."""
+        out = np.zeros((len(video_ids), len(self._dicts), self.num_classes),
+                       np.float32)
+        for i, vid in enumerate(video_ids):
+            if isinstance(vid, bytes):
+                vid = vid.decode("utf-8")
+            for j, d in enumerate(self._dicts):
+                labels, probs = d[vid]
+                out[i, j, labels] = probs
+        return out
+
+
 def load_old_predictions(
     preds_pattern: str, video_ids: Sequence[str], num_classes: int = 4716
 ) -> np.ndarray:
-    """Assemble [B, K, num_classes] from K sorted prediction CSVs
-    (inference_ensemble.py:169-191)."""
-    files = sorted(globlib.glob(preds_pattern))
-    if not files:
-        raise IOError(f"no prediction files match {preds_pattern!r}")
-    dicts = [read_pred_file(f) for f in files]
-    out = np.zeros((len(video_ids), len(files), num_classes), np.float32)
-    for i, vid in enumerate(video_ids):
-        if isinstance(vid, bytes):
-            vid = vid.decode("utf-8")
-        for j, d in enumerate(dicts):
-            labels, probs = d[vid]
-            out[i, j, labels] = probs
-    return out
+    """One-shot convenience wrapper over PredictionStore."""
+    return PredictionStore(preds_pattern, num_classes).assemble(video_ids)
 
 
 def max_ensemble(

@@ -10,6 +10,7 @@ from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
     top_k_by_class,
     top_k_triplets,
     topk_on_device,
+    train_step_metrics,
 )
 from efficientvideoclassification_youtube8m_tpu.metrics.mean_average_precision import (
     MeanAveragePrecisionCalculator,
@@ -26,4 +27,5 @@ __all__ = [
     "top_k_by_class",
     "top_k_triplets",
     "topk_on_device",
+    "train_step_metrics",
 ]

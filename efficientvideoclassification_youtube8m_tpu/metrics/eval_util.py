@@ -110,6 +110,53 @@ def topk_on_device(predictions, k: int = 20):
     return jax.lax.top_k(predictions, k)
 
 
+def train_step_metrics(
+    topk_values: np.ndarray,  # [B, k] sorted desc (from device top_k)
+    topk_indices: np.ndarray,  # [B, k]
+    labels: np.ndarray,  # [B, num_class]
+) -> Dict[str, float]:
+    """Per-step Hit@1 / PERR / GAP from device-side top-k — the cheap path
+    for the training loop's every-step logging (train.py:522-526).
+
+    Matches the reference's per-step numbers for <= k labels/video (up
+    to tie ordering in GAP), without constructing 4716 per-class mAP
+    accumulators per step: one global AP calculator over the pooled
+    top-k entries. The epoch-level eval path (EvaluationMetrics) keeps
+    the exact reference numerics.
+    """
+    topk_values = np.asarray(topk_values)
+    topk_indices = np.asarray(topk_indices)
+    labels = np.asarray(labels)
+    B, k = topk_values.shape
+    rows = np.arange(B)
+    top_labels = labels[rows[:, None], topk_indices]  # [B, k]
+
+    hit_at_one = float(np.average(labels[rows, topk_indices[:, 0]]))
+
+    perr = 0.0
+    label_counts = labels.sum(axis=1).astype(np.int64)
+    for row in range(B):
+        n = min(int(label_counts[row]), k)
+        if n == 0:
+            continue
+        perr += float(
+            np.sum(top_labels[row, :n] * (topk_values[row, :n] > 0))
+        ) / n
+    perr /= B
+
+    gap_calc = AveragePrecisionCalculator()
+    gap_calc.accumulate(
+        list(topk_values.ravel()),
+        list(top_labels.astype(np.float64).ravel()),
+        float(labels.sum()),
+    )
+    return {
+        "hit_at_one": hit_at_one,
+        "perr": perr,
+        "gap": gap_calc.peek_ap_at_n(),
+    }
+
+
 class EvaluationMetrics:
     """Epoch-level aggregator (eval_util.py:126-213)."""
 

@@ -35,12 +35,20 @@ def parse_tf_config(env: Optional[dict] = None) -> Optional[dict]:
     cfg = json.loads(raw)
     cluster = cfg.get("cluster", {})
     task = cfg.get("task", {"type": "master", "index": 0})
-    workers = cluster.get("worker", []) or cluster.get("master", [])
+    # master(s) first, then workers — process ids must be globally unique
+    # across both job types (the reference's cluster spec has both,
+    # train.py:710-718)
+    masters = cluster.get("master", [])
+    workers = cluster.get("worker", [])
+    hosts = masters + workers
+    index = int(task.get("index", 0))
+    task_type = task.get("type", "master")
+    process_id = index if task_type == "master" else len(masters) + index
     return {
-        "coordinator": workers[0] if workers else None,
-        "num_processes": len(workers) or 1,
-        "process_id": int(task.get("index", 0)),
-        "task_type": task.get("type", "master"),
+        "coordinator": hosts[0] if hosts else None,
+        "num_processes": len(hosts) or 1,
+        "process_id": process_id,
+        "task_type": task_type,
     }
 
 

@@ -59,14 +59,15 @@ def _is_tp_shardable(path_leaf_name: str, x, model_size: int, min_dim: int) -> b
     return d >= min_dim and d % model_size == 0
 
 
-def make_params_specs(params: Any, model_size: int, min_dim: int = 4096) -> Any:
+def make_params_specs(params: Any, model_size: int, min_dim: int = 4200) -> Any:
     """PartitionSpec tree for a params pytree.
 
-    Rule: 2-D kernels and their 1-D biases whose LAST dim is wide
-    (>= min_dim) and divisible by the model axis are column-sharded over
-    "model" (covers the MoE gates [state, V*(m+1)] and experts
-    [state, V*m]); everything else — LSTM kernels, hidden layers —
-    replicates. With model_size == 1 everything replicates.
+    Rule: kernels and their biases whose LAST dim is wide (>= min_dim)
+    and divisible by the model axis are column-sharded over "model"
+    (covers the MoE gates/experts, last dim = vocab 4716); everything
+    else — LSTM kernels (last dim 4*1024 = 4096, hence the default
+    min_dim of 4200 sits between them), hidden layers — replicates.
+    With model_size == 1 everything replicates.
     """
 
     def spec(x):
@@ -86,7 +87,7 @@ def make_batch_specs(ndim_map: dict) -> dict:
     }
 
 
-def shard_state_specs(state: Any, model_size: int, min_dim: int = 4096) -> Any:
+def shard_state_specs(state: Any, model_size: int, min_dim: int = 4200) -> Any:
     """Specs for a DistillState/StudentState: params + matching optimizer
     slots sharded, counters replicated."""
 

@@ -36,12 +36,12 @@ def _batch_shardings(mesh: Mesh):
     return fs, ls, ns
 
 
-def state_sharding(state: Any, mesh: Mesh, min_dim: int = 4096):
+def state_sharding(state: Any, mesh: Mesh, min_dim: int = 4200):
     model_size = mesh.shape.get("model", 1)
     return to_named(shard_state_specs(state, model_size, min_dim), mesh)
 
 
-def place_state(state: Any, mesh: Mesh, min_dim: int = 4096):
+def place_state(state: Any, mesh: Mesh, min_dim: int = 4200):
     """Device-put a host state pytree with its sharding."""
     return jax.device_put(state, state_sharding(state, mesh, min_dim))
 
@@ -52,7 +52,7 @@ def build_sharded_distill_step(
     mesh: Mesh,
     state_template: Any,
     top_k: int = 20,
-    min_dim: int = 4096,
+    min_dim: int = 4200,
 ):
     """jit-compiled distillation step with explicit shardings + donation."""
     step = build_distill_train_step(cfg, optimizer, top_k)
@@ -72,7 +72,7 @@ def build_sharded_finetune_step(
     mesh: Mesh,
     state_template: Any,
     top_k: int = 20,
-    min_dim: int = 4096,
+    min_dim: int = 4200,
 ):
     step = build_finetune_step(cfg, optimizer, top_k)
     st_shard = state_sharding(state_template, mesh, min_dim)
@@ -91,7 +91,7 @@ def build_sharded_validate_step(
     params_teacher_template: Any,
     params_student_template: Any,
     top_k: int = 20,
-    min_dim: int = 4096,
+    min_dim: int = 4200,
 ):
     step = build_validate_step(cfg, top_k)
     model_size = mesh.shape.get("model", 1)
@@ -110,7 +110,7 @@ def build_sharded_eval_step(
     mesh: Mesh,
     params_student_template: Any,
     top_k: int = 20,
-    min_dim: int = 4096,
+    min_dim: int = 4200,
 ):
     step = build_eval_step(cfg, top_k)
     model_size = mesh.shape.get("model", 1)

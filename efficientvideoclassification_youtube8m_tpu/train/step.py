@@ -79,6 +79,7 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
         and cfg.compute_dtype == "bfloat16"
         and not inference,
     }
+    kw["is_training"] = not inference
     if inference:
         # pallas is opaque to GSPMD, so the jit-with-shardings paths only
         # use it single-device; the shard_map eval path overrides this
@@ -99,13 +100,32 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
     return kw
 
 
-def preprocess_batch(cfg: TrainConfig, features_u8: jax.Array) -> jax.Array:
+def preprocess_batch(
+    cfg: TrainConfig,
+    features_u8: jax.Array,
+    num_frames: Optional[jax.Array] = None,
+) -> jax.Array:
     """uint8 [B, T, D] -> l2-normalized f32 (train.py:256 + readers.py
     Dequantize), fused on device. Measured on v5e: XLA already fuses
     this chain into one pass (3.5 ms at the flagship batch) and beats the
     handwritten Pallas version (ops/pallas/preprocess.py, 4.6 ms), so the
-    XLA path is used; the kernel remains as tested infrastructure."""
-    return l2_normalize(dequantize(features_u8), axis=2)
+    XLA path is used; the kernel remains as tested infrastructure.
+
+    Padding frames must end up EXACTLY 0.0 like the reference's
+    dequantize-then-zero-pad order (readers.py:170-173) — the loader pads
+    the uint8 tensor, and dequantize maps byte 0 to -1.992, so rows past
+    num_frames are re-zeroed here. (The hierarchical model's seq-len
+    masking never reads them, but FrameLevelLogistic/DBoF/mean-pool
+    consumers do.)"""
+    x = l2_normalize(dequantize(features_u8), axis=2)
+    if num_frames is not None:
+        T = x.shape[1]
+        mask = (
+            jnp.arange(T, dtype=jnp.int32)[None, :]
+            < num_frames.astype(jnp.int32)[:, None]
+        )
+        x = x * mask[:, :, None]
+    return x
 
 
 def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None,
@@ -205,20 +225,16 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         return total, (ls, out_t["predictions"], out_s["predictions"])
 
     # the reference plumbs a dropout keep-prob variable into every tower
-    # (train.py:278-288); only the *Dropout classifier heads consume it
-    # (quirk 5). rngs are derived from the global step for reproducibility.
-    use_dropout = "Dropout" in cfg.video_level_classifier_model and cfg.dropout < 1.0
-
+    # (train.py:278-288); heads/models that ignore it (quirk 5) cost
+    # nothing under jit. rngs derive from the global step (also drives
+    # DBoF's frame sampling).
     def step(state: DistillState, features_u8, labels, num_frames):
-        model_input = preprocess_batch(cfg, features_u8)
+        model_input = preprocess_batch(cfg, features_u8, num_frames)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
-        if use_dropout:
-            base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                      state.global_step)
-            rng_t, rng_s = jax.random.split(base)
-        else:
-            rng_t = rng_s = None
+        base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
+                                  state.global_step)
+        rng_t, rng_s = jax.random.split(base)
 
         grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
         (g_t, g_s), (ls, preds_t, preds_s) = grad_fn(
@@ -266,8 +282,6 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
         cfg.learning_rate_decay,
     )
 
-    use_dropout = "Dropout" in cfg.video_level_classifier_model and cfg.dropout < 1.0
-
     def loss_fn(params_s, model_input_s, nf_student, labels, keep_prob, rng):
         out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
                                 dropout_keep_prob=keep_prob, rng=rng)
@@ -280,12 +294,11 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
         return total, (label_loss, reg, out_s["predictions"])
 
     def step(state: StudentState, features_u8, labels, num_frames):
-        model_input = preprocess_batch(cfg, features_u8)
+        model_input = preprocess_batch(cfg, features_u8, num_frames)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
 
-        rng = (jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
-                                  state.global_step) if use_dropout else None)
+        rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.global_step)
         grad_fn = jax.grad(loss_fn, has_aux=True)
         g_s, (label_loss, reg, preds) = grad_fn(
             state.params_student, model_input_s, nf_student, labels,
@@ -319,7 +332,7 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
     (validate.py:109-189): both towers forward-only."""
 
     def step(params_teacher, params_student, features_u8, labels, num_frames):
-        model_input = preprocess_batch(cfg, features_u8)
+        model_input = preprocess_batch(cfg, features_u8, num_frames)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
         out_t = forward_teacher(cfg, params_teacher, model_input, num_frames,
@@ -352,7 +365,7 @@ def build_eval_step(cfg: TrainConfig, top_k: int = 20,
     """Student-only eval (eval_finetune.py:108-176)."""
 
     def step(params_student, features_u8, labels, num_frames):
-        model_input = preprocess_batch(cfg, features_u8)
+        model_input = preprocess_batch(cfg, features_u8, num_frames)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,

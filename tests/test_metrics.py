@@ -156,3 +156,23 @@ def test_map_calculator_validation():
     assert not c.is_empty()
     aps = c.peek_map_at_n()
     assert len(aps) == 3
+
+
+def test_train_step_metrics_matches_full_path():
+    """The cheap per-step path must match the epoch aggregator's
+    hit@1/perr/gap on a batch with no score ties."""
+    rng = np.random.default_rng(5)
+    num_class, k = 30, 8
+    preds = rng.uniform(size=(12, num_class))
+    labels = np.zeros((12, num_class))
+    for v in range(12):
+        labels[v, rng.choice(num_class, size=rng.integers(1, 4),
+                             replace=False)] = 1
+    vals, idx = metrics.topk_on_device(jnp.asarray(preds), k)
+    fast = metrics.train_step_metrics(np.asarray(vals), np.asarray(idx), labels)
+
+    em = metrics.EvaluationMetrics(num_class, k)
+    info = em.accumulate(preds, labels, np.zeros(12))
+    np.testing.assert_allclose(fast["hit_at_one"], info["hit_at_one"])
+    np.testing.assert_allclose(fast["perr"], info["perr"], rtol=1e-9)
+    np.testing.assert_allclose(fast["gap"], em.get()["gap"], rtol=1e-9)

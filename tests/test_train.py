@@ -318,3 +318,25 @@ def test_class_imbalance_loss_via_counts_file(tmp_path):
     feats, labels, nf = _tiny_batch(cfg, seed=12)
     _, metrics = step(state, feats, labels, nf)
     assert np.isfinite(float(metrics["teacher_label_loss"]))
+
+
+def test_preprocess_zeroes_padding_frames():
+    """The loader pads uint8 with 0, which dequantizes to -1.992 — rows
+    past num_frames must come out exactly 0.0 like the reference's
+    dequantize-then-pad order (readers.py:170-173)."""
+    from efficientvideoclassification_youtube8m_tpu.train.step import (
+        preprocess_batch,
+    )
+
+    cfg = TINY
+    feats = np.zeros((2, 6, cfg.total_feature_size), np.uint8)
+    feats[0, :3] = 200
+    feats[1, :6] = 100
+    nf = jnp.array([3, 6])
+    out = np.asarray(preprocess_batch(cfg, jnp.asarray(feats), nf))
+    assert np.all(out[0, 3:] == 0.0)
+    assert np.all(out[0, :3] != 0.0)
+    assert np.all(out[1] != 0.0)
+    # without num_frames (legacy path) padding rows are NOT zeroed
+    out2 = np.asarray(preprocess_batch(cfg, jnp.asarray(feats)))
+    assert np.all(out2[0, 3:] != 0.0)
