@@ -81,33 +81,39 @@ def finetune(args):
     last_save = time.time()
     start_time = time.time()
     logger.info("Entering training loop.")
+
+    def log_step(metrics, labels, seconds_per_batch):
+        nonlocal last_save
+        global_step_val = int(metrics["global_step"])
+        info = train_step_metrics(np.asarray(metrics["topk_val"]),
+                                  np.asarray(metrics["topk_idx"]), labels)
+        logger.info(
+            "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| L_CE: %s",
+            global_step_val, info["hit_at_one"], info["perr"], info["gap"],
+            round(float(metrics["student_label_loss"]), 2),
+        )
+        writer.scalar("model/Training_Hit@1", info["hit_at_one"], global_step_val)
+        writer.scalar("model/Training_Perr", info["perr"], global_step_val)
+        writer.scalar("model/Training_GAP", info["gap"], global_step_val)
+        writer.scalar("global_step/Examples/Second",
+                      labels.shape[0] / seconds_per_batch, global_step_val)
+        writer.flush()
+        if time.time() - last_save > args.save_model_secs:
+            save_checkpoint(cfg.train_dir, state, global_step_val)
+            last_save = time.time()
+
+    # one-step-lagged logging: the metric fetch overlaps device compute
+    pending = None
     for batch in loader:
         batch_start_time = time.time()
         f, l, n = shard_batch(mesh, batch.features, batch.labels,
                               batch.num_frames)
         state, metrics = step_fn(state, f, l, n)
-        topk_val = np.asarray(metrics["topk_val"])
-        topk_idx = np.asarray(metrics["topk_idx"])
-        global_step_val = int(metrics["global_step"])
-        seconds_per_batch = time.time() - batch_start_time
-        examples_per_second = batch.labels.shape[0] / seconds_per_batch
-
-        info = train_step_metrics(topk_val, topk_idx, batch.labels)
-        gap = info["gap"]
-        logger.info(
-            "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| L_CE: %s",
-            global_step_val, info["hit_at_one"], info["perr"], gap,
-            round(float(metrics["student_label_loss"]), 2),
-        )
-        writer.scalar("model/Training_Hit@1", info["hit_at_one"], global_step_val)
-        writer.scalar("model/Training_Perr", info["perr"], global_step_val)
-        writer.scalar("model/Training_GAP", gap, global_step_val)
-        writer.scalar("global_step/Examples/Second", examples_per_second,
-                      global_step_val)
-        writer.flush()
-        if time.time() - last_save > args.save_model_secs:
-            save_checkpoint(cfg.train_dir, state, global_step_val)
-            last_save = time.time()
+        if pending is not None:
+            log_step(pending[0], pending[1], batch_start_time - pending[2])
+        pending = (metrics, batch.labels, batch_start_time)
+    if pending is not None:
+        log_step(pending[0], pending[1], time.time() - pending[2])
     logger.info("Done training -- epoch limit reached.")
     save_checkpoint(cfg.train_dir, state, int(jax.device_get(state.global_step)))
     writer.close()
