@@ -183,6 +183,49 @@ def write_synthetic_aggregated_shard(
     return truth
 
 
+def write_learnable_frame_shard(
+    path: str,
+    num_videos: int,
+    seed: int = 0,
+    pattern_seed: int = 1234,
+    feature_names: Sequence[str] = ("rgb", "audio"),
+    feature_sizes: Sequence[int] = (1024, 128),
+    max_frames: int = 300,
+    vocab_size: int = 4716,
+    min_frames: int = 8,
+    signal: int = 60,
+) -> List[FrameVideo]:
+    """Synthetic shard with a LEARNABLE label->feature mapping.
+
+    Each class c has a fixed (pattern_seed-derived) byte-offset direction;
+    a video's frames are noise plus the sum of its labels' directions, so
+    a model can generalize to held-out videos generated with the same
+    pattern_seed. Used by convergence tests and scripts/.
+    """
+    rng = np.random.default_rng(seed)
+    total = sum(feature_sizes)
+    pat_rng = np.random.default_rng(pattern_seed)
+    patterns = pat_rng.integers(-1, 2, size=(vocab_size, total)).astype(np.int16)
+    truth = []
+    with TFRecordWriter(path) as w:
+        for i in range(num_videos):
+            nf = int(rng.integers(min_frames, max_frames + 1))
+            labels = sorted(
+                int(x) for x in rng.choice(vocab_size, size=int(rng.integers(1, 4)),
+                                           replace=False)
+            )
+            base = rng.integers(60, 196, size=(nf, total), dtype=np.int16)
+            for c in labels:
+                base = base + signal * patterns[c][None, :]
+            feats = np.clip(base, 0, 255).astype(np.uint8)
+            vid = f"lv{seed:02d}_{i:05d}"
+            w.write(encode_frame_record(vid, labels, feats, feature_names,
+                                        feature_sizes))
+            truth.append(FrameVideo(vid, labels, feats[:max_frames],
+                                    min(nf, max_frames)))
+    return truth
+
+
 def write_synthetic_frame_shard(
     path: str,
     num_videos: int,
