@@ -42,7 +42,8 @@ def convert(args) -> str:
     student_state = student_state_from_distill(state, optimizer)
     finetune_dir = cfg.train_dir.replace("train", "") + "finetune/"
     os.makedirs(finetune_dir, exist_ok=True)
-    path = save_checkpoint(finetune_dir, student_state, 0)
+    path = save_checkpoint(finetune_dir, student_state, 0,
+                           backend=args.checkpoint_format)
     logger.info("Saved standalone student checkpoint to %s", path)
 
     # sanity: re-restore round-trip (the reference re-restores after save,

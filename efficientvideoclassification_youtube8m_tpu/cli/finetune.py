@@ -99,7 +99,8 @@ def finetune(args):
                       labels.shape[0] / seconds_per_batch, global_step_val)
         writer.flush()
         if time.time() - last_save > args.save_model_secs:
-            save_checkpoint(cfg.train_dir, state, global_step_val)
+            save_checkpoint(cfg.train_dir, state, global_step_val,
+                            backend=args.checkpoint_format)
             last_save = time.time()
 
     # one-step-lagged logging: the metric fetch overlaps device compute
@@ -115,7 +116,9 @@ def finetune(args):
     if pending is not None:
         log_step(pending[0], pending[1], time.time() - pending[2])
     logger.info("Done training -- epoch limit reached.")
-    save_checkpoint(cfg.train_dir, state, int(jax.device_get(state.global_step)))
+    save_checkpoint(cfg.train_dir, state,
+                    int(jax.device_get(state.global_step)),
+                    backend=args.checkpoint_format)
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

@@ -82,6 +82,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="size of the 'model' mesh axis (tensor parallelism)")
     p.add_argument("--save_model_secs", type=int, default=30 * 60)
+    p.add_argument("--checkpoint_format", default="msgpack",
+                   choices=["msgpack", "orbax"])
     p.add_argument("--use_native_io", type=_bool, default=True)
     return p
 

@@ -109,7 +109,8 @@ def train(args) -> None:
                       global_step_val)
         writer.flush()
         if time.time() - last_save > args.save_model_secs:
-            save_checkpoint(cfg.train_dir, state, global_step_val)
+            save_checkpoint(cfg.train_dir, state, global_step_val,
+                            backend=args.checkpoint_format)
             last_save = time.time()
 
     # One-step-lagged logging: step N's metric fetch (a device sync)
@@ -131,7 +132,9 @@ def train(args) -> None:
     except KeyboardInterrupt:
         logger.info("Interrupted; saving checkpoint.")
     logger.info("Done training -- epoch limit reached.")
-    save_checkpoint(cfg.train_dir, state, int(jax.device_get(state.global_step)))
+    save_checkpoint(cfg.train_dir, state,
+                    int(jax.device_get(state.global_step)),
+                    backend=args.checkpoint_format)
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

@@ -1,16 +1,25 @@
-"""Checkpointing: msgpack pytree snapshots with TF-Saver-style semantics.
+"""Checkpointing: pytree snapshots with TF-Saver-style semantics.
 
 Replaces the reference's `tf.train.Saver` V2 checkpoints + `.meta` graph
-files (`train.py:496-504,651`): `model.ckpt-<step>.msgpack` files, a
+files (`train.py:496-504,651`): `model.ckpt-<step>` snapshots, a
 `checkpoint` pointer file (latest first), and `max_to_keep`. "Meta-graph
 surgery" (train_convert_model.py:360-401) becomes subtree selection on
 the state pytree (`train/state.py:student_state_from_distill`).
+
+Two interchangeable backends:
+  * "msgpack" (default) — one flax-serialization file; simple, fast,
+    single-host;
+  * "orbax" — `orbax.checkpoint.StandardCheckpointer` directories;
+    TPU-native path for sharded/multi-host state (each host writes its
+    shards; restore places onto the mesh).
+`latest_checkpoint`/`restore_checkpoint` auto-detect either format.
 """
 
 from __future__ import annotations
 
 import os
 import re
+import shutil
 from typing import Any, List, Optional
 
 import flax.serialization
@@ -20,19 +29,39 @@ _POINTER = "checkpoint"
 _PREFIX = "model.ckpt"
 
 
+def _orbax_checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(
-    train_dir: str, state: Any, step: int, max_to_keep: int = 1
+    train_dir: str,
+    state: Any,
+    step: int,
+    max_to_keep: int = 1,
+    backend: str = "msgpack",
 ) -> str:
-    """Write `model.ckpt-<step>.msgpack` and update the pointer file.
+    """Write `model.ckpt-<step>[.msgpack]` and update the pointer file.
     The reference keeps only the latest (`Saver(max_to_keep=1)`,
     train.py:651)."""
     os.makedirs(train_dir, exist_ok=True)
-    state = jax.device_get(state)
-    path = os.path.join(train_dir, f"{_PREFIX}-{step}.msgpack")
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(flax.serialization.to_bytes(state))
-    os.replace(tmp, path)
+    if backend == "orbax":
+        path = os.path.abspath(os.path.join(train_dir, f"{_PREFIX}-{step}"))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr = _orbax_checkpointer()
+        ckptr.save(path, jax.device_get(state))
+        ckptr.wait_until_finished()  # StandardCheckpointer saves async
+    elif backend == "msgpack":
+        state = jax.device_get(state)
+        path = os.path.join(train_dir, f"{_PREFIX}-{step}.msgpack")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(flax.serialization.to_bytes(state))
+        os.replace(tmp, path)
+    else:
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
 
     existing = _list_checkpoints(train_dir)
     ordered = [path] + [p for p in existing if p != path]
@@ -42,7 +71,10 @@ def save_checkpoint(
     if max_to_keep and len(ordered) > max_to_keep:
         for p in ordered[max_to_keep:]:
             try:
-                os.remove(p)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                else:
+                    os.remove(p)
             except OSError:
                 pass
     return path
@@ -53,7 +85,7 @@ def _list_checkpoints(train_dir: str) -> List[str]:
         return []
     paths = []
     for name in os.listdir(train_dir):
-        m = re.fullmatch(rf"{re.escape(_PREFIX)}-(\d+)\.msgpack", name)
+        m = re.fullmatch(rf"{re.escape(_PREFIX)}-(\d+)(\.msgpack)?", name)
         if m:
             paths.append((int(m.group(1)), os.path.join(train_dir, name)))
     return [p for _, p in sorted(paths, reverse=True)]
@@ -74,12 +106,17 @@ def latest_checkpoint(train_dir: str) -> Optional[str]:
 
 
 def checkpoint_step(path: str) -> int:
-    m = re.search(rf"{re.escape(_PREFIX)}-(\d+)\.msgpack$", path)
+    m = re.search(rf"{re.escape(_PREFIX)}-(\d+)(\.msgpack)?$", path)
     return int(m.group(1)) if m else 0
 
 
 def restore_checkpoint(path: str, target: Any) -> Any:
-    """Restore into a template pytree (shapes/dtypes from `target`)."""
+    """Restore into a template pytree (shapes/dtypes from `target`).
+    Backend auto-detected: orbax checkpoints are directories."""
+    if os.path.isdir(path):
+        return _orbax_checkpointer().restore(
+            os.path.abspath(path), jax.device_get(target)
+        )
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(target, f.read())
 

@@ -340,3 +340,32 @@ def test_preprocess_zeroes_padding_frames():
     # without num_frames (legacy path) padding rows are NOT zeroed
     out2 = np.asarray(preprocess_batch(cfg, jnp.asarray(feats)))
     assert np.all(out2[0, 3:] != 0.0)
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax directory checkpoints interoperate with the pointer-file /
+    max_to_keep / restore machinery (auto-detected by restore)."""
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    train_dir = str(tmp_path / "train")
+    import os
+
+    p1 = save_checkpoint(train_dir, state, 2, backend="orbax")
+    assert os.path.isdir(p1)
+    assert latest_checkpoint(train_dir) == p1
+
+    feats, labels, nf = _tiny_batch(cfg, seed=13)
+    step = jax.jit(build_distill_train_step(cfg, opt))
+    state2, _ = step(state, feats, labels, nf)
+    p2 = save_checkpoint(train_dir, state2, 4, backend="orbax")
+    assert latest_checkpoint(train_dir) == p2
+    assert not os.path.exists(p1)  # max_to_keep=1
+    assert checkpoint_step(p2) == 4
+
+    template = init_distill_state(cfg, opt)
+    restored = restore_checkpoint(p2, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params_student, jax.device_get(state2.params_student))
+    assert int(restored.global_step) == int(state2.global_step)
