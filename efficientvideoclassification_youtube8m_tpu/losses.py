@@ -180,13 +180,20 @@ def representation_loss(teacher_state, student_state):
     return jnp.mean(per_example)
 
 
-def prediction_kl_loss(teacher_predictions, student_predictions):
+def prediction_kl_loss(teacher_predictions, student_predictions,
+                       epsilon: float = 1e-20):
     """L_PRED: sum over batch of KL(Cat(t) || Cat(s)) where both sides'
     independent sigmoid outputs are row-renormalized into categorical
     distributions (`tf.distributions.Categorical(probs=...)`,
-    train.py:398-402). Note the batch reduction is a SUM, not a mean."""
+    train.py:398-402). Note the batch reduction is a SUM, not a mean.
+
+    `epsilon` guards the logs against exactly-zero sigmoid outputs
+    (saturated experts underflow to 0.0 in f32, where the reference's
+    tf.distributions KL NaNs out the whole run); it is far below any
+    representable probability of interest, so normal values are
+    bit-unchanged."""
     t = jax.lax.stop_gradient(teacher_predictions)
     t = t / jnp.sum(t, axis=1, keepdims=True)
     s = student_predictions / jnp.sum(student_predictions, axis=1, keepdims=True)
-    kl = jnp.sum(t * (jnp.log(t) - jnp.log(s)), axis=1)
+    kl = jnp.sum(t * (jnp.log(t + epsilon) - jnp.log(s + epsilon)), axis=1)
     return jnp.sum(kl)
