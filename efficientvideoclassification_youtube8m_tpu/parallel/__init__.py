@@ -7,6 +7,9 @@ from efficientvideoclassification_youtube8m_tpu.parallel.mesh import (
     shard_state_specs,
     to_named,
 )
+from efficientvideoclassification_youtube8m_tpu.parallel.sequence_parallel import (
+    build_sequence_parallel_state_fn,
+)
 from efficientvideoclassification_youtube8m_tpu.parallel.sharded_step import (
     build_shardmap_eval_step,
     build_sharded_distill_step,
@@ -25,6 +28,7 @@ __all__ = [
     "shard_batch",
     "shard_state_specs",
     "to_named",
+    "build_sequence_parallel_state_fn",
     "build_shardmap_eval_step",
     "build_sharded_distill_step",
     "build_sharded_eval_step",

@@ -185,3 +185,33 @@ def test_shardmap_eval_matches_jit_eval():
     np.testing.assert_allclose(
         np.asarray(out_a["per_example_loss"]),
         np.asarray(out_b["per_example_loss"]), rtol=1e-4)
+
+
+def test_sequence_parallel_matches_folded_dp():
+    """Sharding the chunk axis (true sequence parallelism, one all_gather
+    before L2) must reproduce the single-device hierarchical state."""
+    from efficientvideoclassification_youtube8m_tpu.models import get_model
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_sequence_parallel_state_fn,
+    )
+
+    cfg = CFG.replace(num_inputs_to_lstm=8, max_num_frames=40)
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    mesh = create_mesh()  # 8 devices = 8 chunks, one block per device
+
+    rng = np.random.default_rng(3)
+    B = 4
+    x = jnp.asarray(rng.normal(size=(B, 40, cfg.total_feature_size)),
+                    jnp.float32)
+    nf = jnp.array([40, 23, 7, 1], jnp.int32)
+
+    sp_fn = build_sequence_parallel_state_fn(cfg, mesh)
+    got = np.asarray(sp_fn(state.params_teacher["rnn_l1"],
+                           state.params_teacher["rnn_l2"], x, nf))
+
+    model = get_model(cfg.model)
+    want = np.asarray(model.apply(
+        state.params_teacher, x, vocab_size=cfg.num_classes, num_frames=nf,
+        num_chunks=8, scan_unroll=1)["state"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
