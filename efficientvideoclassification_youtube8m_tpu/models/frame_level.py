@@ -105,8 +105,10 @@ class HierarchicalLstmModel:
 
             def scan_fn(p, xs, seq):
                 bsz = xs.shape[0]
+                # tile_b=256 is the largest that fits VMEM (w_h 8MB +
+                # double-buffered x 4MB + carries ~3MB); 512 OOMs.
                 tile = next(
-                    (t for t in (512, 256, 128, 64, 32, 16, 8) if bsz % t == 0),
+                    (t for t in (256, 128, 64, 32, 16, 8) if bsz % t == 0),
                     None,
                 )
                 if tile is None:
