@@ -46,13 +46,16 @@ def finetune(args):
         init_distill_state(cfg, optimizer), optimizer
     )
 
-    ckpt = latest_checkpoint(cfg.train_dir)
+    ckpt = None if args.start_new_model else latest_checkpoint(cfg.train_dir)
     if ckpt is None:
-        raise IOError(
-            f"no converted checkpoint in {cfg.train_dir}; run convert first"
-        )
-    logger.info("Resuming student from %s", ckpt)
-    state = restore_checkpoint(ckpt, template)
+        # the reference finetuner builds a fresh model when there is no
+        # meta-graph to recover (train_finetune.py:377-379) — this is also
+        # the from-scratch trainer for single-tower models like DBoF.
+        logger.info("Building new model.")
+        state = template
+    else:
+        logger.info("Resuming student from %s", ckpt)
+        state = restore_checkpoint(ckpt, template)
     logger.info("Trainable Parameters of Student:")
     logger.info("%s", flags_lib.param_names(state.params_student, "model_student"))
 

@@ -242,30 +242,43 @@ class DbofModel:
     @staticmethod
     def init(key, input_size: int, vocab_size: int, cluster_size: int = 8192,
              hidden_size: int = 1024, classifier: str = "MoeModel",
+             add_batch_norm: bool = True,
              classifier_kwargs: Optional[dict] = None, **_):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         cls = get_model(classifier)
-        return {
-            "input_bn": _bn_init(input_size),
+        params = {
             "cluster": {
                 "w": (1.0 / math.sqrt(input_size))
                 * jax.random.normal(k1, (input_size, cluster_size))
             },
-            "cluster_bn": _bn_init(cluster_size),
             "hidden1": {
                 "w": (1.0 / math.sqrt(cluster_size))
                 * jax.random.normal(k2, (cluster_size, hidden_size))
             },
-            "hidden1_bn": _bn_init(hidden_size),
             "classifier": cls.init(
                 k3, hidden_size, vocab_size, **(classifier_kwargs or {})
             ),
         }
+        if add_batch_norm:
+            params["input_bn"] = _bn_init(input_size)
+            params["cluster_bn"] = _bn_init(cluster_size)
+            params["hidden1_bn"] = _bn_init(hidden_size)
+        else:
+            # no-BN variant (frame_level_models.py:150-162,175-187):
+            # biases replace the norms; reference stddevs kept.
+            params["cluster"]["b"] = (1.0 / math.sqrt(input_size)) * (
+                jax.random.normal(k4, (cluster_size,))
+            )
+            params["hidden1"]["b"] = 0.01 * jax.random.normal(
+                k5, (hidden_size,)
+            )
+        return params
 
     @staticmethod
     def apply(params, model_input, vocab_size: int, num_frames=None,
               iterations: int = 30, sample_random: bool = True,
               pooling_method: str = "max", classifier: str = "MoeModel",
+              add_batch_norm: bool = True,
               is_training: bool = True, rng: Optional[jax.Array] = None,
               **classifier_kwargs) -> Dict[str, Any]:
         if rng is not None:
@@ -276,14 +289,17 @@ class DbofModel:
         x = model_input.reshape(-1, feature_size)
 
         updated = dict(params)
-        x, updated["input_bn"] = _bn_apply(params["input_bn"], x, is_training)
+        if add_batch_norm:
+            x, updated["input_bn"] = _bn_apply(params["input_bn"], x, is_training)
         act = dense(params["cluster"], x)
-        act, updated["cluster_bn"] = _bn_apply(params["cluster_bn"], act, is_training)
+        if add_batch_norm:
+            act, updated["cluster_bn"] = _bn_apply(params["cluster_bn"], act, is_training)
         act = jnp.clip(act, 0.0, 6.0)  # relu6
         act = act.reshape(-1, max_frames, act.shape[-1])
         act = frame_pooling(act, pooling_method)
         act = dense(params["hidden1"], act)
-        act, updated["hidden1_bn"] = _bn_apply(params["hidden1_bn"], act, is_training)
+        if add_batch_norm:
+            act, updated["hidden1_bn"] = _bn_apply(params["hidden1_bn"], act, is_training)
         act = jnp.clip(act, 0.0, 6.0)
 
         cls = get_model(classifier)

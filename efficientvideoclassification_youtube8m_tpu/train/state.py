@@ -55,6 +55,14 @@ def init_distill_state(
         if cfg.video_level_classifier_model == "MoeModel"
         else {"num_hidden_units": cfg.num_hidden_units},
     )
+    if cfg.model == "DbofModel":
+        # DBoF sizing flags (frame_level_models.py:119-124); every init
+        # takes **_ so the union of kwargs is safe to pass.
+        kwargs.update(
+            cluster_size=cfg.dbof_cluster_size,
+            hidden_size=cfg.dbof_hidden_size,
+            add_batch_norm=cfg.dbof_add_batch_norm,
+        )
     params_teacher = model.init(
         kt, cfg.total_feature_size, cfg.num_classes, **kwargs
     )

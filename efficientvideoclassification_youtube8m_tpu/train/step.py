@@ -80,6 +80,16 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
         and not inference,
     }
     kw["is_training"] = not inference
+    if cfg.model == "DbofModel":
+        # DBoF's flag block (frame_level_models.py:119-124); sampling uses
+        # the step-derived rng the towers already receive, so eval (rng
+        # None) sees the full deterministic frame sequence instead.
+        kw.update(
+            iterations=cfg.iterations,
+            sample_random=cfg.sample_random_frames,
+            pooling_method=cfg.dbof_pooling_method,
+            add_batch_norm=cfg.dbof_add_batch_norm,
+        )
     if inference:
         # pallas is opaque to GSPMD, so the jit-with-shardings paths only
         # use it single-device; the shard_map eval path overrides this
@@ -165,6 +175,31 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
     )
 
 
+_NON_TRAINABLE_STATS = ("moving_mean", "moving_var")
+
+
+def _merge_updated_stats(new_params, updated):
+    """Fold non-trainable statistics computed during the forward pass
+    (DBoF batch-norm moving averages, models/frame_level.py:_bn_apply)
+    back into the optimizer-updated params.
+
+    This is the TPU-native equivalent of the reference's UPDATE_OPS
+    control dependency around the train op (train.py:312-318): slim's
+    batch_norm registers moving-average assign ops there, and
+    create_train_op runs them with every step. Here the forward pass
+    returns the updated stats as an aux output and the step merges just
+    those leaves; the trainable leaves keep their gradient update (the
+    stats receive zero gradient, so Adam leaves them untouched)."""
+    if updated is None:
+        return new_params
+
+    def merge(path, new_leaf, upd_leaf):
+        key = getattr(path[-1], "key", None) if path else None
+        return upd_leaf if key in _NON_TRAINABLE_STATS else new_leaf
+
+    return jax.tree_util.tree_map_with_path(merge, new_params, updated)
+
+
 def _distill_losses(cfg: TrainConfig, out_t, out_s, labels):
     """All six scalars of the reference's train graph (train.py:294-406)."""
     label_loss_fn = resolve_label_loss(cfg)
@@ -222,7 +257,8 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
                                 dropout_keep_prob=keep_prob, rng=rng_s)
         ls = _distill_losses(cfg, out_t, out_s, labels)
         total = ls["teacher_final_loss"] + ls["total_student_loss"]
-        return total, (ls, out_t["predictions"], out_s["predictions"])
+        return total, (ls, out_t["predictions"], out_s["predictions"],
+                       out_t.get("updated_params"), out_s.get("updated_params"))
 
     # the reference plumbs a dropout keep-prob variable into every tower
     # (train.py:278-288); heads/models that ignore it (quirk 5) cost
@@ -237,7 +273,7 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         rng_t, rng_s = jax.random.split(base)
 
         grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
-        (g_t, g_s), (ls, preds_t, preds_s) = grad_fn(
+        (g_t, g_s), (ls, preds_t, preds_s, upd_t, upd_s) = grad_fn(
             state.params_teacher, state.params_student, model_input,
             model_input_s, num_frames, nf_student, labels,
             state.dropout_keep_prob, rng_t, rng_s,
@@ -251,6 +287,8 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         new_ps, new_os = optimizer.update(
             g_s, state.opt_student, state.params_student, lr
         )
+        new_pt = _merge_updated_stats(new_pt, upd_t)
+        new_ps = _merge_updated_stats(new_ps, upd_s)
         new_state = state.replace(
             params_teacher=new_pt,
             params_student=new_ps,
@@ -291,7 +329,8 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
             label_loss = label_loss_fn(out_s["predictions"], labels)
         reg = out_s.get("regularization_loss", 0.0)
         total = cfg.regularization_penalty * reg + label_loss
-        return total, (label_loss, reg, out_s["predictions"])
+        return total, (label_loss, reg, out_s["predictions"],
+                       out_s.get("updated_params"))
 
     def step(state: StudentState, features_u8, labels, num_frames):
         model_input = preprocess_batch(cfg, features_u8, num_frames)
@@ -300,7 +339,7 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
 
         rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.global_step)
         grad_fn = jax.grad(loss_fn, has_aux=True)
-        g_s, (label_loss, reg, preds) = grad_fn(
+        g_s, (label_loss, reg, preds, upd_s) = grad_fn(
             state.params_student, model_input_s, nf_student, labels,
             state.dropout_keep_prob, rng,
         )
@@ -308,6 +347,7 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
         new_ps, new_os = optimizer.update(
             g_s, state.opt_student, state.params_student, lr
         )
+        new_ps = _merge_updated_stats(new_ps, upd_s)
         new_state = state.replace(
             params_student=new_ps,
             opt_student=new_os,

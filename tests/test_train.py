@@ -369,3 +369,63 @@ def test_orbax_checkpoint_backend(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         restored.params_student, jax.device_get(state2.params_student))
     assert int(restored.global_step) == int(state2.global_step)
+
+
+def test_dbof_finetune_updates_bn_moving_stats():
+    """The finetune step consumes DBoF's `updated_params`: batch-norm
+    moving averages advance with every step — the UPDATE_OPS control
+    dependency of the reference (train.py:312-318) — while trainables
+    take the gradient update."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, model="DbofModel", dbof_cluster_size=16, dbof_hidden_size=8,
+        iterations=5,
+    )
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    p0 = jax.device_get(state.params_student)
+    np.testing.assert_array_equal(p0["input_bn"]["moving_mean"], 0.0)
+    np.testing.assert_array_equal(p0["input_bn"]["moving_var"], 1.0)
+
+    step = jax.jit(build_finetune_step(cfg, opt))
+    feats, labels, nf = _tiny_batch(cfg, seed=7)
+    state, m1 = step(state, feats, labels, nf)
+    p1 = jax.device_get(state.params_student)
+    for bn in ("input_bn", "cluster_bn", "hidden1_bn"):
+        assert np.any(p1[bn]["moving_mean"] != 0.0), bn
+        assert np.any(p1[bn]["moving_var"] != 1.0), bn
+    # trainables moved too (gradient update, not just the stat fold-back)
+    assert np.any(p1["cluster"]["w"] != p0["cluster"]["w"])
+
+    # stats keep advancing (decay 0.999 toward the batch stats)
+    state, _ = step(state, feats, labels, nf)
+    p2 = jax.device_get(state.params_student)
+    assert np.any(p2["input_bn"]["moving_mean"] != p1["input_bn"]["moving_mean"])
+
+    # eval consumes the moving stats without mutating state
+    eval_step = jax.jit(build_eval_step(cfg))
+    out = eval_step(state.params_student, feats, labels, nf)
+    assert out["predictions"].shape == (cfg.batch_size, cfg.num_classes)
+    assert np.all(np.isfinite(np.asarray(out["predictions"])))
+
+
+def test_dbof_no_batch_norm_variant():
+    """`--dbof_add_batch_norm False` swaps the norms for biases
+    (frame_level_models.py:150-162,175-187) and still trains."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY, model="DbofModel", dbof_cluster_size=16, dbof_hidden_size=8,
+        iterations=5, dbof_add_batch_norm=False,
+    )
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    params = jax.device_get(state.params_student)
+    assert "input_bn" not in params
+    assert "b" in params["cluster"] and "b" in params["hidden1"]
+
+    step = jax.jit(build_finetune_step(cfg, opt))
+    feats, labels, nf = _tiny_batch(cfg, seed=11)
+    state, metrics = step(state, feats, labels, nf)
+    assert np.isfinite(float(metrics["student_label_loss"]))
