@@ -35,6 +35,7 @@ def finetune(args):
 
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_finetune_step,
+        build_shardmap_finetune_step,
         create_mesh,
         place_state,
         shard_batch,
@@ -60,9 +61,14 @@ def finetune(args):
     logger.info("%s", flags_lib.param_names(state.params_student, "model_student"))
 
     mesh = create_mesh(model=args.model_parallelism)
-    step_fn = build_sharded_finetune_step(
-        cfg, optimizer, mesh, state, top_k=args.top_k
-    )
+    if args.use_shardmap_train:
+        step_fn = build_shardmap_finetune_step(
+            cfg, optimizer, mesh, top_k=args.top_k
+        )
+    else:
+        step_fn = build_sharded_finetune_step(
+            cfg, optimizer, mesh, state, top_k=args.top_k
+        )
     state = place_state(state, mesh)
 
     loader = FrameDataLoader(

@@ -81,6 +81,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--faithful_quirks", type=_bool, default=True)
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="size of the 'model' mesh axis (tensor parallelism)")
+    p.add_argument("--use_shardmap_train", type=_bool, default=False,
+                   help="data-parallel train step via shard_map (explicit "
+                   "per-device grads + one psum) instead of the GSPMD jit "
+                   "path; requires model_parallelism=1")
     p.add_argument("--save_model_secs", type=int, default=30 * 60)
     p.add_argument("--checkpoint_format", default="msgpack",
                    choices=["msgpack", "orbax"])

@@ -36,6 +36,7 @@ def train(args) -> None:
 
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_distill_step,
+        build_shardmap_distill_step,
         create_mesh,
         place_state,
         shard_batch,
@@ -57,9 +58,14 @@ def train(args) -> None:
 
     mesh = create_mesh(model=args.model_parallelism)
     logger.info("Device mesh: %s", dict(mesh.shape))
-    step_fn = build_sharded_distill_step(
-        cfg, optimizer, mesh, state, top_k=args.top_k
-    )
+    if args.use_shardmap_train:
+        step_fn = build_shardmap_distill_step(
+            cfg, optimizer, mesh, top_k=args.top_k
+        )
+    else:
+        step_fn = build_sharded_distill_step(
+            cfg, optimizer, mesh, state, top_k=args.top_k
+        )
     state = place_state(state, mesh)
 
     loader = FrameDataLoader(

@@ -11,7 +11,9 @@ from efficientvideoclassification_youtube8m_tpu.parallel.sequence_parallel impor
     build_sequence_parallel_state_fn,
 )
 from efficientvideoclassification_youtube8m_tpu.parallel.sharded_step import (
+    build_shardmap_distill_step,
     build_shardmap_eval_step,
+    build_shardmap_finetune_step,
     build_sharded_distill_step,
     build_sharded_eval_step,
     build_sharded_finetune_step,
@@ -29,7 +31,9 @@ __all__ = [
     "shard_state_specs",
     "to_named",
     "build_sequence_parallel_state_fn",
+    "build_shardmap_distill_step",
     "build_shardmap_eval_step",
+    "build_shardmap_finetune_step",
     "build_sharded_distill_step",
     "build_sharded_eval_step",
     "build_sharded_finetune_step",

@@ -121,6 +121,68 @@ def build_sharded_eval_step(
     return jax.jit(step, in_shardings=(ps_shard, fs, ls, ns))
 
 
+_DISTILL_SCALARS = (
+    "teacher_label_loss", "teacher_final_loss", "teacher_reg_loss",
+    "student_loss_state", "pred_loss", "student_label_loss",
+    "student_reg_loss", "total_student_loss",
+)
+
+
+def _shardmap_train(step, mesh, metric_scalars):
+    """shard_map a per-device train step (built with axis_name=DATA_AXIS):
+    replicated state in/out, batch sharded over "data", topk concatenated.
+
+    Unlike the GSPMD jit path (where the partitioner chooses the
+    collectives), the per-device program and its single gradient psum over
+    ICI are explicit — the scaling-book recipe written by hand. Gradients
+    are psum'd inside the step, so the replicated optimizer update is
+    identical on every device and the out-spec P() state replication
+    holds by construction."""
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = (
+        P(),  # state: replicated
+        P(DATA_AXIS, None, None),  # features
+        P(DATA_AXIS, None),  # labels
+        P(DATA_AXIS),  # num_frames
+    )
+    metric_specs = {k: P() for k in metric_scalars}
+    metric_specs.update(
+        learning_rate=P(), global_step=P(),
+        topk_val=P(DATA_AXIS, None), topk_idx=P(DATA_AXIS, None),
+    )
+    mapped = jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(), metric_specs), check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def build_shardmap_distill_step(
+    cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20
+):
+    """Data-parallel distillation TRAIN step via shard_map (explicit
+    per-device grads + one psum over ICI). Requires model_parallelism == 1;
+    use build_sharded_distill_step (GSPMD) for tensor-parallel meshes."""
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError("shard_map train path is data-parallel only")
+    step = build_distill_train_step(cfg, optimizer, top_k,
+                                    axis_name=DATA_AXIS)
+    return _shardmap_train(step, mesh, _DISTILL_SCALARS)
+
+
+def build_shardmap_finetune_step(
+    cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20
+):
+    """Data-parallel student-only TRAIN step via shard_map."""
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError("shard_map train path is data-parallel only")
+    step = build_finetune_step(cfg, optimizer, top_k, axis_name=DATA_AXIS)
+    return _shardmap_train(
+        step, mesh, ("student_label_loss", "student_reg_loss")
+    )
+
+
 def build_shardmap_eval_step(
     cfg: TrainConfig,
     mesh: Mesh,

@@ -237,10 +237,21 @@ def _distill_losses(cfg: TrainConfig, out_t, out_s, labels):
     }
 
 
-def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20):
+def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
+                             axis_name: Optional[str] = None):
     """Returns step(state, features_u8, labels, num_frames) ->
     (state, metrics). Jit-compatible; sharding is applied by the caller
-    (parallel/)."""
+    (parallel/).
+
+    With `axis_name`, the step is a PER-DEVICE program for shard_map over
+    a data axis: the batch-MEAN loss terms (CE, L_REP) and the
+    batch-independent l2 reg are scaled by 1/n_devices locally and the
+    batch-SUM term (L_PRED, losses.py:prediction_kl_loss) is left
+    unscaled, so ONE explicit `psum` of the local gradients reproduces
+    the global-batch gradient exactly; the replicated optimizer update
+    then applies identically on every device (per-variable clipping acts
+    on the summed grads, same as the single-program path). Reported
+    scalars are pmean'd (psum for L_PRED) back to their global values."""
     schedule = exponential_decay(
         cfg.base_learning_rate,
         cfg.batch_size,
@@ -257,6 +268,11 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
                                 dropout_keep_prob=keep_prob, rng=rng_s)
         ls = _distill_losses(cfg, out_t, out_s, labels)
         total = ls["teacher_final_loss"] + ls["total_student_loss"]
+        if axis_name is not None:
+            n = jax.lax.psum(1, axis_name)
+            # mean/reg terms /n so psum(grads) == global-batch grad;
+            # the batch-SUM L_PRED stays unscaled.
+            total = (total - ls["pred_loss"]) / n + ls["pred_loss"]
         return total, (ls, out_t["predictions"], out_s["predictions"],
                        out_t.get("updated_params"), out_s.get("updated_params"))
 
@@ -270,6 +286,9 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
         base = jax.random.fold_in(jax.random.PRNGKey(cfg.seed),
                                   state.global_step)
+        if axis_name is not None:
+            # decorrelate dropout / frame sampling across batch shards
+            base = jax.random.fold_in(base, jax.lax.axis_index(axis_name))
         rng_t, rng_s = jax.random.split(base)
 
         grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
@@ -278,6 +297,22 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
             model_input_s, num_frames, nf_student, labels,
             state.dropout_keep_prob, rng_t, rng_s,
         )
+        if axis_name is not None:
+            g_t = jax.lax.psum(g_t, axis_name)
+            g_s = jax.lax.psum(g_s, axis_name)
+            pred_local = ls["pred_loss"]
+            stud_minus_pred = ls["total_student_loss"] - pred_local
+            ls = jax.tree.map(lambda v: jax.lax.pmean(v, axis_name), ls)
+            ls["pred_loss"] = jax.lax.psum(pred_local, axis_name)
+            ls["total_student_loss"] = (
+                jax.lax.pmean(stud_minus_pred, axis_name) + ls["pred_loss"]
+            )
+            # BN batch stats are per-shard under shard_map; average them so
+            # every device folds back the same (global-batch) moving stats
+            upd_t = None if upd_t is None else jax.tree.map(
+                lambda v: jax.lax.pmean(v, axis_name), upd_t)
+            upd_s = None if upd_s is None else jax.tree.map(
+                lambda v: jax.lax.pmean(v, axis_name), upd_s)
         # Both towers' schedules read the SAME pre-update global step
         # (deterministic resolution of the reference's read/increment race).
         lr = schedule(state.global_step)
@@ -311,8 +346,13 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
     return step
 
 
-def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20):
-    """Student-only training: CE + reg (train_finetune.py:263-331)."""
+def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
+                        axis_name: Optional[str] = None):
+    """Student-only training: CE + reg (train_finetune.py:263-331).
+
+    With `axis_name`, a per-device shard_map program: both loss terms are
+    batch-mean / batch-independent, so the local loss is scaled by
+    1/n_devices and the local grads psum'd (see build_distill_train_step)."""
     schedule = exponential_decay(
         cfg.base_learning_rate,
         cfg.batch_size,
@@ -329,6 +369,8 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
             label_loss = label_loss_fn(out_s["predictions"], labels)
         reg = out_s.get("regularization_loss", 0.0)
         total = cfg.regularization_penalty * reg + label_loss
+        if axis_name is not None:
+            total = total / jax.lax.psum(1, axis_name)
         return total, (label_loss, reg, out_s["predictions"],
                        out_s.get("updated_params"))
 
@@ -338,11 +380,19 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
 
         rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.global_step)
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         grad_fn = jax.grad(loss_fn, has_aux=True)
         g_s, (label_loss, reg, preds, upd_s) = grad_fn(
             state.params_student, model_input_s, nf_student, labels,
             state.dropout_keep_prob, rng,
         )
+        if axis_name is not None:
+            g_s = jax.lax.psum(g_s, axis_name)
+            label_loss = jax.lax.pmean(label_loss, axis_name)
+            reg = jax.lax.pmean(reg, axis_name)
+            upd_s = None if upd_s is None else jax.tree.map(
+                lambda v: jax.lax.pmean(v, axis_name), upd_s)
         lr = schedule(state.global_step)
         new_ps, new_os = optimizer.update(
             g_s, state.opt_student, state.params_student, lr

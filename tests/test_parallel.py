@@ -215,3 +215,76 @@ def test_sequence_parallel_matches_folded_dp():
         state.params_teacher, x, vocab_size=cfg.num_classes, num_frames=nf,
         num_chunks=8, scan_unroll=1)["state"])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_shardmap_distill_step_matches_single_device():
+    """The shard_map TRAIN path (explicit per-device grads + one psum over
+    the data axis, mean/sum loss-term bookkeeping in build_distill_train_step)
+    must reproduce the single-program step: same losses, same updated params."""
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_shardmap_distill_step,
+    )
+
+    cfg = CFG
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state_host = init_distill_state(cfg, opt)
+    feats, labels, nf = _batch(cfg, seed=3)
+
+    base_step = jax.jit(build_distill_train_step(cfg, opt, top_k=5))
+    base_state, base_metrics = base_step(
+        state_host, jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(nf))
+
+    mesh = create_mesh()  # 8-way data parallel
+    state = place_state(state_host, mesh)
+    step = build_shardmap_distill_step(cfg, opt, mesh, top_k=5)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+    new_state, metrics = step(state, f, l, n)
+
+    for k in ["teacher_label_loss", "teacher_final_loss", "student_loss_state",
+              "pred_loss", "student_label_loss", "total_student_loss"]:
+        np.testing.assert_allclose(float(metrics[k]), float(base_metrics[k]),
+                                   rtol=2e-4, err_msg=k)
+    for name in ["params_teacher", "params_student"]:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(jax.device_get(a)), np.asarray(b),
+                rtol=1e-4, atol=1e-6),
+            getattr(new_state, name), jax.device_get(getattr(base_state, name)))
+    assert int(new_state.global_step) == 2
+    # topk concatenates back to the full batch
+    assert metrics["topk_val"].shape == (cfg.batch_size, 5)
+    with pytest.raises(ValueError):
+        build_shardmap_distill_step(cfg, opt, create_mesh(model=2), top_k=5)
+
+
+def test_shardmap_finetune_step_matches_single_device():
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_shardmap_finetune_step,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        build_finetune_step,
+    )
+
+    cfg = CFG
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state_host = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    feats, labels, nf = _batch(cfg, seed=5)
+
+    base_step = jax.jit(build_finetune_step(cfg, opt, top_k=5))
+    base_state, base_metrics = base_step(
+        state_host, jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(nf))
+
+    mesh = create_mesh()
+    state = place_state(state_host, mesh)
+    step = build_shardmap_finetune_step(cfg, opt, mesh, top_k=5)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+    new_state, metrics = step(state, f, l, n)
+
+    np.testing.assert_allclose(float(metrics["student_label_loss"]),
+                               float(base_metrics["student_label_loss"]),
+                               rtol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(b),
+            rtol=1e-4, atol=1e-6),
+        new_state.params_student, jax.device_get(base_state.params_student))
