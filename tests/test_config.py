@@ -79,3 +79,46 @@ def test_flag_surface_covers_reference_union():
     known = {a.dest for a in parser._actions}
     missing = [f for f in reference_flags if f not in known]
     assert not missing, missing
+
+
+def test_hash_check_cli(tmp_path, capsys):
+    """hash_check verifies md5s against a JSON manifest and prints
+    re-download commands for bad/missing shards
+    (hash_check_redownload.py:9-18; commands printed, not run — no egress)."""
+    import hashlib
+    import json
+
+    from efficientvideoclassification_youtube8m_tpu.cli import hash_check
+
+    good = tmp_path / "train-0.tfrecord"
+    good.write_bytes(b"good shard bytes")
+    bad = tmp_path / "train-1.tfrecord"
+    bad.write_bytes(b"corrupted")
+    manifest = {
+        "train-0.tfrecord": hashlib.md5(b"good shard bytes").hexdigest(),
+        "train-1.tfrecord": hashlib.md5(b"original bytes").hexdigest(),
+        "train-2.tfrecord": "0" * 32,  # missing
+    }
+    mpath = tmp_path / "manifest.json"
+    mpath.write_text(json.dumps(manifest))
+
+    rc = hash_check.main([
+        "--manifest", str(mpath), "--data_dir", str(tmp_path),
+        "--redownload_base", "http://example.com/yt8m",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "MISMATCH train-1.tfrecord" in out
+    assert "MISSING train-2.tfrecord" in out
+    assert "curl -O http://example.com/yt8m/train-1.tfrecord" in out
+    assert "1/3 shards OK" in out
+
+    # all-good manifest -> rc 0
+    ok_manifest = tmp_path / "ok.json"
+    ok_manifest.write_text(json.dumps(
+        {"train-0.tfrecord": manifest["train-0.tfrecord"]}))
+    rc = hash_check.main([
+        "--manifest", str(ok_manifest), "--data_dir", str(tmp_path),
+    ])
+    assert rc == 0
+    assert "1/1 shards OK" in capsys.readouterr().out
