@@ -67,6 +67,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--dbof_pooling_method", default="max")
     p.add_argument("--dbof_add_batch_norm", type=_bool, default=True)
     p.add_argument("--sample_random_frames", type=_bool, default=True)
+    # vestigial reference flags (frame_level_models.py:20-46): registered
+    # at import there but consumed by no shipped model (the atrous-conv /
+    # attention experiments never landed); accepted here with the same
+    # defaults so reference invocations parse. `a_rate` keeps the
+    # reference's DEFINE_string-with-int-default quirk by parsing as str.
+    p.add_argument("--ppfs_normalize", type=_bool, default=False)
+    p.add_argument("--input_features", type=int, default=1024)
+    p.add_argument("--a_rate", default="2")
+    p.add_argument("--num_conv2d_layers", type=int, default=4)
+    p.add_argument("--filter_size", type=int, default=10)
+    p.add_argument("--att_hid_size", type=int, default=100)
     # eval / inference
     p.add_argument("--top_k", type=int, default=20)
     p.add_argument("--run_once", type=_bool, default=False,

@@ -75,6 +75,9 @@ def test_flag_surface_covers_reference_union():
         "dbof_pooling_method", "video_level_classifier_model", "lstm_cells",
         "lstm_layers", "max_num_frames", "num_inputs_to_lstm",
         "moe_num_mixtures", "num_hidden_units", "top_k", "run_once",
+        # vestigial import-time flags (frame_level_models.py:20-46)
+        "ppfs_normalize", "input_features", "a_rate", "num_conv2d_layers",
+        "filter_size", "att_hid_size",
     ]
     known = {a.dest for a in parser._actions}
     missing = [f for f in reference_flags if f not in known]
