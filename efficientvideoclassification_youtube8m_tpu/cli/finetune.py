@@ -37,8 +37,8 @@ def finetune(args):
         build_sharded_finetune_step,
         build_shardmap_finetune_step,
         create_mesh,
+        device_prefetch,
         place_state,
-        shard_batch,
     )
 
     cfg = flags_lib.config_from_args(args)
@@ -112,12 +112,11 @@ def finetune(args):
                             backend=args.checkpoint_format)
             last_save = time.time()
 
-    # one-step-lagged logging: the metric fetch overlaps device compute
+    # one-step-lagged logging: the metric fetch overlaps device compute;
+    # device_prefetch overlaps the next batch's H2D with this step
     pending = None
-    for batch in loader:
+    for (f, l, n), batch in device_prefetch(loader, mesh):
         batch_start_time = time.time()
-        f, l, n = shard_batch(mesh, batch.features, batch.labels,
-                              batch.num_frames)
         state, metrics = step_fn(state, f, l, n)
         if pending is not None:
             log_step(pending[0], pending[1], batch_start_time - pending[2])

@@ -38,8 +38,8 @@ def train(args) -> None:
         build_sharded_distill_step,
         build_shardmap_distill_step,
         create_mesh,
+        device_prefetch,
         place_state,
-        shard_batch,
     )
 
     cfg = flags_lib.config_from_args(args)
@@ -124,10 +124,10 @@ def train(args) -> None:
     # overlaps device compute instead of serializing with it.
     pending = None  # (metrics, labels, batch_start_time)
     try:
-        for batch in loader:
+        # device_prefetch issues batch k+1's (async) H2D while batch k's
+        # step computes — double-buffering the host->device edge.
+        for (f, l, n), batch in device_prefetch(loader, mesh):
             batch_start_time = time.time()
-            f, l, n = shard_batch(mesh, batch.features, batch.labels,
-                                  batch.num_frames)
             state, metrics = step_fn(state, f, l, n)
             if pending is not None:
                 log_step(pending[0], pending[1],

@@ -2,6 +2,7 @@ from efficientvideoclassification_youtube8m_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     create_mesh,
+    device_prefetch,
     make_params_specs,
     shard_batch,
     shard_state_specs,
@@ -26,6 +27,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "create_mesh",
+    "device_prefetch",
     "make_params_specs",
     "shard_batch",
     "shard_state_specs",

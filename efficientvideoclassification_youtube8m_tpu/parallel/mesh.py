@@ -124,3 +124,27 @@ def shard_batch(mesh: Mesh, features, labels, num_frames):
         jax.device_put(labels, ls),
         jax.device_put(num_frames, ns),
     )
+
+
+def device_prefetch(loader, mesh: Mesh, depth: int = 1):
+    """Yield `(sharded_device_arrays, host_batch)` pairs with the H2D
+    transfer running `depth` batches ahead.
+
+    `jax.device_put` is asynchronous, so issuing batch k+1's transfer
+    before batch k's step is dispatched overlaps PCIe/ICI copy time with
+    device compute — the double-buffering the reference gets from its
+    queue runners feeding the device (train.py:170-176). Costs `depth`
+    extra batches of HBM. The host batch rides along because the train
+    loops' metric logging reads labels on the host."""
+    from collections import deque
+
+    pending = deque()
+    for batch in loader:
+        pending.append(
+            (shard_batch(mesh, batch.features, batch.labels,
+                         batch.num_frames), batch)
+        )
+        if len(pending) > depth:
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()

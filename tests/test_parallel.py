@@ -288,3 +288,31 @@ def test_shardmap_finetune_step_matches_single_device():
             np.asarray(jax.device_get(a)), np.asarray(b),
             rtol=1e-4, atol=1e-6),
         new_state.params_student, jax.device_get(base_state.params_student))
+
+
+def test_device_prefetch_order_and_values():
+    """device_prefetch yields every batch exactly once, in order, with the
+    sharded device arrays equal to a direct shard_batch of the same host
+    batch — only the transfer timing differs."""
+    from collections import namedtuple
+
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        device_prefetch,
+    )
+
+    Batch = namedtuple("Batch", "features labels num_frames")
+    cfg = CFG
+    host = [Batch(*_batch(cfg, seed=s)) for s in range(5)]
+    mesh = create_mesh()
+
+    out = list(device_prefetch(iter(host), mesh, depth=2))
+    assert len(out) == len(host)
+    for (f, l, n), hb in out:
+        assert hb.labels is not None
+    for i, ((f, l, n), hb) in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(f), host[i].features)
+        np.testing.assert_array_equal(np.asarray(l), host[i].labels)
+        np.testing.assert_array_equal(np.asarray(n), host[i].num_frames)
+        assert hb is host[i]
+        # really sharded over the data axis
+        assert f.sharding.spec == P("data", None, None)
