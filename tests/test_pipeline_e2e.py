@@ -93,6 +93,24 @@ def test_01b_train_resume(pipeline_dirs):
     assert ckpt.endswith("model.ckpt-18.msgpack"), ckpt
 
 
+def test_01c_train_shardmap(pipeline_dirs):
+    """--use_shardmap_train drives the explicit-collectives step through
+    the same CLI and produces the same checkpoint cadence."""
+    from efficientvideoclassification_youtube8m_tpu.cli import train as train_cli
+    from efficientvideoclassification_youtube8m_tpu.train import latest_checkpoint
+
+    sm_dir = str(pipeline_dirs["root"] / "model_train_sm") + "/"
+    train_cli.main(TINY_FLAGS + [
+        "--train_dir", sm_dir,
+        "--train_data_pattern", pipeline_dirs["train_pattern"],
+        "--num_epochs", "1",
+        "--start_new_model", "true",
+        "--use_shardmap_train", "true",
+    ])
+    ckpt = latest_checkpoint(sm_dir)
+    assert ckpt is not None and ckpt.endswith("model.ckpt-6.msgpack"), ckpt
+
+
 def test_02_validate(pipeline_dirs):
     from efficientvideoclassification_youtube8m_tpu.cli import validate as val_cli
 
