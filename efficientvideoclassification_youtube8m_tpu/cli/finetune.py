@@ -48,12 +48,19 @@ def finetune(args):
     )
 
     ckpt = None if args.start_new_model else latest_checkpoint(cfg.train_dir)
-    if ckpt is None:
-        # the reference finetuner builds a fresh model when there is no
-        # meta-graph to recover (train_finetune.py:377-379) — this is also
-        # the from-scratch trainer for single-tower models like DBoF.
+    if args.start_new_model:
+        # from-scratch training (the reference finetuner's fresh-model path,
+        # train_finetune.py:377-379) — also how single-tower models like
+        # DBoF are trained. Opt-in only: a missing checkpoint WITHOUT the
+        # flag stays an error so a typo'd --train_dir in the distill ->
+        # convert -> finetune chain can't silently train from random init.
         logger.info("Building new model.")
         state = template
+    elif ckpt is None:
+        raise IOError(
+            f"no converted checkpoint in {cfg.train_dir}; run convert "
+            "first, or pass --start_new_model to train from scratch"
+        )
     else:
         logger.info("Resuming student from %s", ckpt)
         state = restore_checkpoint(ckpt, template)
@@ -115,12 +122,12 @@ def finetune(args):
     # one-step-lagged logging: the metric fetch overlaps device compute;
     # device_prefetch overlaps the next batch's H2D with this step
     pending = None
-    for (f, l, n), batch in device_prefetch(loader, mesh):
+    for (f, l, n), host_labels in device_prefetch(loader, mesh):
         batch_start_time = time.time()
         state, metrics = step_fn(state, f, l, n)
         if pending is not None:
             log_step(pending[0], pending[1], batch_start_time - pending[2])
-        pending = (metrics, batch.labels, batch_start_time)
+        pending = (metrics, host_labels, batch_start_time)
     if pending is not None:
         log_step(pending[0], pending[1], time.time() - pending[2])
     logger.info("Done training -- epoch limit reached.")

@@ -126,13 +126,13 @@ def train(args) -> None:
     try:
         # device_prefetch issues batch k+1's (async) H2D while batch k's
         # step computes — double-buffering the host->device edge.
-        for (f, l, n), batch in device_prefetch(loader, mesh):
+        for (f, l, n), host_labels in device_prefetch(loader, mesh):
             batch_start_time = time.time()
             state, metrics = step_fn(state, f, l, n)
             if pending is not None:
                 log_step(pending[0], pending[1],
                          batch_start_time - pending[2])
-            pending = (metrics, batch.labels, batch_start_time)
+            pending = (metrics, host_labels, batch_start_time)
         if pending is not None:
             log_step(pending[0], pending[1], time.time() - pending[2])
     except KeyboardInterrupt:

@@ -193,6 +193,20 @@ def sample_random_sequence(model_input, num_frames, num_samples: int, rng):
     return jnp.take_along_axis(model_input, frame_index[:, :, None], axis=1)
 
 
+def sample_even_frames(model_input, num_frames, num_samples: int):
+    """Deterministic evenly-spaced frame indices strictly below num_frames —
+    the eval-time counterpart of sample_random_frames (the reference samples
+    randomly at eval too, model_utils.py:39-58; here eval is deterministic).
+    Crucially the indices never reach padding rows, which matters for models
+    that pool over all sampled frames (DBoF): padded rows stop being zero
+    after batch norm and would contaminate max/average pooling."""
+    u = (jnp.arange(num_samples, dtype=jnp.float32) + 0.5) / num_samples
+    frame_index = (
+        u[None, :] * num_frames.astype(jnp.float32)[:, None]
+    ).astype(jnp.int32)
+    return jnp.take_along_axis(model_input, frame_index[:, :, None], axis=1)
+
+
 def frame_pooling(frames, method: str):
     """average/max/none pooling over the frame axis (model_utils.py:60-83)."""
     if method == "average":
@@ -284,6 +298,10 @@ class DbofModel:
         if rng is not None:
             sampler = sample_random_frames if sample_random else sample_random_sequence
             model_input = sampler(model_input, num_frames, iterations, rng)
+        elif num_frames is not None:
+            # eval/inference: deterministic sampling, still strictly below
+            # num_frames so the pooled window never includes padding rows
+            model_input = sample_even_frames(model_input, num_frames, iterations)
         max_frames = model_input.shape[1]
         feature_size = model_input.shape[2]
         x = model_input.reshape(-1, feature_size)

@@ -127,22 +127,23 @@ def shard_batch(mesh: Mesh, features, labels, num_frames):
 
 
 def device_prefetch(loader, mesh: Mesh, depth: int = 1):
-    """Yield `(sharded_device_arrays, host_batch)` pairs with the H2D
+    """Yield `(sharded_device_arrays, host_labels)` pairs with the H2D
     transfer running `depth` batches ahead.
 
     `jax.device_put` is asynchronous, so issuing batch k+1's transfer
     before batch k's step is dispatched overlaps PCIe/ICI copy time with
     device compute — the double-buffering the reference gets from its
     queue runners feeding the device (train.py:170-176). Costs `depth`
-    extra batches of HBM. The host batch rides along because the train
-    loops' metric logging reads labels on the host."""
+    extra batches of HBM. Only the labels ride along on the host (the
+    train loops' metric logging needs them); the big uint8 features
+    buffer is dropped as soon as its transfer is issued."""
     from collections import deque
 
     pending = deque()
     for batch in loader:
         pending.append(
             (shard_batch(mesh, batch.features, batch.labels,
-                         batch.num_frames), batch)
+                         batch.num_frames), batch.labels)
         )
         if len(pending) > depth:
             yield pending.popleft()

@@ -210,6 +210,15 @@ def _distill_losses(cfg: TrainConfig, out_t, out_s, labels):
     teacher_reg = out_t.get("regularization_loss", 0.0)
     teacher_final = cfg.regularization_penalty * teacher_reg + teacher_label_loss
 
+    if "state" not in out_t or "state" not in out_s:
+        # same constraint as the reference, surfaced clearly: its train.py
+        # unpacks `state, result = model.create_model(...)` (train.py:281-288),
+        # which only HierarchicalLstmModel provides.
+        raise ValueError(
+            f"model '{cfg.model}' does not return a distillation 'state'; "
+            "teacher-student training requires HierarchicalLstmModel. "
+            "Train single-tower models with cli.finetune --start_new_model."
+        )
     l_rep = losses_lib.representation_loss(out_t["state"], out_s["state"])
     l_pred = losses_lib.prediction_kl_loss(
         out_t["predictions"], out_s["predictions"]
@@ -251,7 +260,14 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
     the global-batch gradient exactly; the replicated optimizer update
     then applies identically on every device (per-variable clipping acts
     on the summed grads, same as the single-program path). Reported
-    scalars are pmean'd (psum for L_PRED) back to their global values."""
+    scalars are pmean'd (psum for L_PRED) back to their global values.
+
+    Caveat: batch-norm models (DBoF) normalize with PER-SHARD batch
+    statistics under shard_map — standard unsynced data-parallel BN —
+    so their gradients and moving averages are not bit-equal to the
+    GSPMD path's global-batch statistics (the moving stats are pmean'd
+    so state stays replicated). The flagship LSTM models have no BN and
+    the two paths match exactly (tested)."""
     schedule = exponential_decay(
         cfg.base_learning_rate,
         cfg.batch_size,

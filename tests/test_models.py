@@ -221,3 +221,30 @@ def test_vlad_models(name, kwargs):
     norms = [float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(n > 0 for n in norms) >= len(norms) - 1  # MoE dummy gate col ok
+
+
+def test_dbof_eval_ignores_padding_frames():
+    """Eval-time DBoF (rng=None) samples evenly-spaced frames strictly
+    below num_frames, so predictions are invariant to how much zero
+    padding follows — padding rows would otherwise stop being zero after
+    input batch norm and contaminate max/average pooling."""
+    cls = get_model("DbofModel")
+    params = cls.init(jax.random.PRNGKey(0), 8, VOCAB, cluster_size=16,
+                      hidden_size=8)
+    rng = np.random.default_rng(12)
+    real = jnp.asarray(rng.normal(size=(2, 10, 8)), jnp.float32)
+    nf = jnp.array([10, 7])
+    short = jnp.concatenate([real, jnp.zeros((2, 10, 8), jnp.float32)], axis=1)
+    long = jnp.concatenate([real, jnp.zeros((2, 70, 8), jnp.float32)], axis=1)
+
+    out_short = cls.apply(params, short, vocab_size=VOCAB, num_frames=nf,
+                          iterations=4, is_training=False)
+    out_long = cls.apply(params, long, vocab_size=VOCAB, num_frames=nf,
+                         iterations=4, is_training=False)
+    np.testing.assert_array_equal(np.asarray(out_short["predictions"]),
+                                  np.asarray(out_long["predictions"]))
+    # and deterministic: same call twice -> identical
+    out_again = cls.apply(params, long, vocab_size=VOCAB, num_frames=nf,
+                          iterations=4, is_training=False)
+    np.testing.assert_array_equal(np.asarray(out_long["predictions"]),
+                                  np.asarray(out_again["predictions"]))

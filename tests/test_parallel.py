@@ -307,12 +307,11 @@ def test_device_prefetch_order_and_values():
 
     out = list(device_prefetch(iter(host), mesh, depth=2))
     assert len(out) == len(host)
-    for (f, l, n), hb in out:
-        assert hb.labels is not None
-    for i, ((f, l, n), hb) in enumerate(out):
+    for i, ((f, l, n), host_labels) in enumerate(out):
         np.testing.assert_array_equal(np.asarray(f), host[i].features)
         np.testing.assert_array_equal(np.asarray(l), host[i].labels)
         np.testing.assert_array_equal(np.asarray(n), host[i].num_frames)
-        assert hb is host[i]
+        # only the labels stay resident on the host
+        assert host_labels is host[i].labels
         # really sharded over the data axis
         assert f.sharding.spec == P("data", None, None)
