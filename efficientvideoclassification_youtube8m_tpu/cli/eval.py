@@ -31,7 +31,7 @@ logger = logging.getLogger("eval")
 
 def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
                     writer):
-    from efficientvideoclassification_youtube8m_tpu.parallel import shard_batch
+    from efficientvideoclassification_youtube8m_tpu.parallel import device_prefetch
 
     evl_metrics = EvaluationMetrics(cfg.num_classes, args.top_k)
     loader = FrameDataLoader(
@@ -49,15 +49,14 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
     )
     examples_processed = 0
     start = time.time()
-    for batch in loader:
-        f, l, n = shard_batch(mesh, batch.features, batch.labels,
-                              batch.num_frames)
+    for (f, l, n), (labels, pad) in device_prefetch(
+            loader, mesh, host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(params_student, f, l, n)
-        valid = batch.labels.shape[0] - batch.pad
+        valid = labels.shape[0] - pad
         info = evl_metrics.accumulate_topk(
             np.asarray(out["topk_val"])[:valid],
             np.asarray(out["topk_idx"])[:valid],
-            batch.labels[:valid],
+            labels[:valid],
             np.asarray(out["per_example_loss"])[:valid],
         )
         examples_processed += valid

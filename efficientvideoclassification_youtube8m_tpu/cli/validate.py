@@ -30,7 +30,7 @@ logger = logging.getLogger("validate")
 
 
 def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path):
-    from efficientvideoclassification_youtube8m_tpu.parallel import shard_batch
+    from efficientvideoclassification_youtube8m_tpu.parallel import device_prefetch
 
     evl_metrics = EvaluationMetrics(cfg.num_classes, args.top_k)
     global_step_val = int(np.asarray(state.global_step))
@@ -49,16 +49,15 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path):
     )
     examples_processed = 0
     start = time.time()
-    for batch in loader:
-        f, l, n = shard_batch(mesh, batch.features, batch.labels,
-                              batch.num_frames)
+    for (f, l, n), (labels, pad) in device_prefetch(
+            loader, mesh, host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(state.params_teacher, state.params_student, f, l, n)
-        valid = batch.labels.shape[0] - batch.pad
+        valid = labels.shape[0] - pad
         topk_val = np.asarray(out["topk_val"])[:valid]
         topk_idx = np.asarray(out["topk_idx"])[:valid]
         per_loss = np.asarray(out["per_example_loss"])[:valid]
         info = evl_metrics.accumulate_topk(
-            topk_val, topk_idx, batch.labels[:valid], per_loss
+            topk_val, topk_idx, labels[:valid], per_loss
         )
         examples_processed += valid
         info["examples_per_second"] = examples_processed / (time.time() - start)

@@ -126,24 +126,27 @@ def shard_batch(mesh: Mesh, features, labels, num_frames):
     )
 
 
-def device_prefetch(loader, mesh: Mesh, depth: int = 1):
-    """Yield `(sharded_device_arrays, host_labels)` pairs with the H2D
+def device_prefetch(loader, mesh: Mesh, depth: int = 1, host_keep=None):
+    """Yield `(sharded_device_arrays, host_kept)` pairs with the H2D
     transfer running `depth` batches ahead.
 
     `jax.device_put` is asynchronous, so issuing batch k+1's transfer
     before batch k's step is dispatched overlaps PCIe/ICI copy time with
     device compute — the double-buffering the reference gets from its
     queue runners feeding the device (train.py:170-176). Costs `depth`
-    extra batches of HBM. Only the labels ride along on the host (the
-    train loops' metric logging needs them); the big uint8 features
-    buffer is dropped as soon as its transfer is issued."""
+    extra batches of HBM. Only `host_keep(batch)` rides along on the
+    host (default: the labels, which the train loops' metric logging
+    needs); the big uint8 features buffer is dropped as soon as its
+    transfer is issued."""
     from collections import deque
 
+    if host_keep is None:
+        host_keep = lambda b: b.labels  # noqa: E731
     pending = deque()
     for batch in loader:
         pending.append(
             (shard_batch(mesh, batch.features, batch.labels,
-                         batch.num_frames), batch.labels)
+                         batch.num_frames), host_keep(batch))
         )
         if len(pending) > depth:
             yield pending.popleft()
