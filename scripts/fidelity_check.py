@@ -52,6 +52,10 @@ def main():
         "--every_n", "10",
         "--num_epochs", "2",
         "--num_readers", "2",
+        # numerically identical; keeps the single-core CPU compile of the
+        # flagship-dims graph tractable (CLAUDE.md: heavy configs need
+        # scan_unroll=1 off-TPU)
+        "--scan_unroll", "1",
     ]
 
     from efficientvideoclassification_youtube8m_tpu.cli import (
