@@ -99,7 +99,6 @@ def finetune(args):
     logger.info("Entering training loop.")
 
     def log_step(metrics, labels, seconds_per_batch):
-        nonlocal last_save
         global_step_val = int(metrics["global_step"])
         info = train_step_metrics(np.asarray(metrics["topk_val"]),
                                   np.asarray(metrics["topk_idx"]), labels)
@@ -114,10 +113,6 @@ def finetune(args):
         writer.scalar("global_step/Examples/Second",
                       labels.shape[0] / seconds_per_batch, global_step_val)
         writer.flush()
-        if time.time() - last_save > args.save_model_secs:
-            save_checkpoint(cfg.train_dir, state, global_step_val,
-                            backend=args.checkpoint_format)
-            last_save = time.time()
 
     # one-step-lagged logging: the metric fetch overlaps device compute;
     # device_prefetch overlaps the next batch's H2D with this step
@@ -128,6 +123,12 @@ def finetune(args):
         if pending is not None:
             log_step(pending[0], pending[1], batch_start_time - pending[2])
         pending = (metrics, host_labels, batch_start_time)
+        if time.time() - last_save > args.save_model_secs:
+            # snapshot named with the step stored IN the saved state
+            save_checkpoint(cfg.train_dir, state,
+                            int(jax.device_get(state.global_step)),
+                            backend=args.checkpoint_format)
+            last_save = time.time()
     if pending is not None:
         log_step(pending[0], pending[1], time.time() - pending[2])
     logger.info("Done training -- epoch limit reached.")

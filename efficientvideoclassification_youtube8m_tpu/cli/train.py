@@ -92,7 +92,6 @@ def train(args) -> None:
     def log_step(metrics, labels, seconds_per_batch):
         """Host-side metrics from the device top-k (equivalent to the
         reference's full-matrix numpy path for <=top_k labels/video)."""
-        nonlocal last_save
         topk_val = np.asarray(metrics["topk_val"])
         topk_idx = np.asarray(metrics["topk_idx"])
         global_step_val = int(metrics["global_step"])
@@ -114,10 +113,6 @@ def train(args) -> None:
         writer.scalar("global_step/Examples/Second", examples_per_second,
                       global_step_val)
         writer.flush()
-        if time.time() - last_save > args.save_model_secs:
-            save_checkpoint(cfg.train_dir, state, global_step_val,
-                            backend=args.checkpoint_format)
-            last_save = time.time()
 
     # One-step-lagged logging: step N's metric fetch (a device sync)
     # happens AFTER step N+1 is dispatched, so host metric/log work
@@ -133,6 +128,14 @@ def train(args) -> None:
                 log_step(pending[0], pending[1],
                          batch_start_time - pending[2])
             pending = (metrics, host_labels, batch_start_time)
+            if time.time() - last_save > args.save_model_secs:
+                # name the snapshot with the step stored IN the saved
+                # state (the reference's Saver uses the graph's own
+                # global_step, train.py:502) — not the lagged log step
+                save_checkpoint(cfg.train_dir, state,
+                                int(jax.device_get(state.global_step)),
+                                backend=args.checkpoint_format)
+                last_save = time.time()
         if pending is not None:
             log_step(pending[0], pending[1], time.time() - pending[2])
     except KeyboardInterrupt:

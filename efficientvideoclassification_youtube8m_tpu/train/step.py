@@ -29,26 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from efficientvideoclassification_youtube8m_tpu import losses as losses_lib
-
-
-def resolve_label_loss(cfg: TrainConfig):
-    """Loss fn from the registry, with file-backed extras bound.
-
-    `CrossEntropyLossClassImbalance` reads per-class counts from a
-    `counts_tv` file in the reference (losses.py:107); here the path
-    comes from cfg.class_counts_file (one integer per line).
-    """
-    fn = losses_lib.get_loss(cfg.label_loss)
-    if cfg.label_loss == "CrossEntropyLossClassImbalance":
-        path = getattr(cfg, "class_counts_file", "") or "counts_tv"
-        with open(path) as f:
-            counts = [int(line) for line in f if line.strip()]
-
-        def bound(predictions, labels, **kw):
-            return fn(predictions, labels, class_counts=counts, **kw)
-
-        return bound
-    return fn
 from efficientvideoclassification_youtube8m_tpu.models import get_model
 from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
     dequantize,
@@ -65,6 +45,27 @@ from efficientvideoclassification_youtube8m_tpu.train.state import (
     StudentState,
 )
 from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+
+def resolve_label_loss(cfg: TrainConfig):
+    """Loss fn from the registry, with file-backed extras bound ONCE at
+    step-build time (never file I/O under trace).
+
+    `CrossEntropyLossClassImbalance` reads per-class counts from a
+    `counts_tv` file in the reference (losses.py:107); here the path
+    comes from cfg.class_counts_file (one integer per line).
+    """
+    fn = losses_lib.get_loss(cfg.label_loss)
+    if cfg.label_loss == "CrossEntropyLossClassImbalance":
+        path = getattr(cfg, "class_counts_file", "") or "counts_tv"
+        with open(path) as f:
+            counts = [int(line) for line in f if line.strip()]
+
+        def bound(predictions, labels, **kw):
+            return fn(predictions, labels, class_counts=counts, **kw)
+
+        return bound
+    return fn
 
 
 def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
@@ -200,10 +201,11 @@ def _merge_updated_stats(new_params, updated):
     return jax.tree_util.tree_map_with_path(merge, new_params, updated)
 
 
-def _distill_losses(cfg: TrainConfig, out_t, out_s, labels):
-    """All six scalars of the reference's train graph (train.py:294-406)."""
-    label_loss_fn = resolve_label_loss(cfg)
+def _distill_losses(cfg: TrainConfig, out_t, out_s, labels, label_loss_fn):
+    """All six scalars of the reference's train graph (train.py:294-406).
 
+    `label_loss_fn` is resolved once by the step builder (file-backed
+    losses read their counts file there, not inside the traced fn)."""
     teacher_label_loss = out_t.get("loss")
     if teacher_label_loss is None:
         teacher_label_loss = label_loss_fn(out_t["predictions"], labels)
@@ -275,6 +277,7 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         cfg.learning_rate_decay,
     )
     step_increment = 2 if cfg.faithful_quirks else 1
+    label_loss_fn = resolve_label_loss(cfg)
 
     def loss_fn(params_t, params_s, model_input, model_input_s, num_frames,
                 nf_student, labels, keep_prob, rng_t, rng_s):
@@ -282,7 +285,7 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
                                 dropout_keep_prob=keep_prob, rng=rng_t)
         out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
                                 dropout_keep_prob=keep_prob, rng=rng_s)
-        ls = _distill_losses(cfg, out_t, out_s, labels)
+        ls = _distill_losses(cfg, out_t, out_s, labels, label_loss_fn)
         total = ls["teacher_final_loss"] + ls["total_student_loss"]
         if axis_name is not None:
             n = jax.lax.psum(1, axis_name)
@@ -376,10 +379,11 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
         cfg.learning_rate_decay,
     )
 
+    label_loss_fn = resolve_label_loss(cfg)
+
     def loss_fn(params_s, model_input_s, nf_student, labels, keep_prob, rng):
         out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
                                 dropout_keep_prob=keep_prob, rng=rng)
-        label_loss_fn = resolve_label_loss(cfg)
         label_loss = out_s.get("loss")
         if label_loss is None:
             label_loss = label_loss_fn(out_s["predictions"], labels)
@@ -436,6 +440,7 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
 def build_validate_step(cfg: TrainConfig, top_k: int = 20):
     """Student eval with the teacher present for L_REP
     (validate.py:109-189): both towers forward-only."""
+    label_loss_fn = resolve_label_loss(cfg)
 
     def step(params_teacher, params_student, features_u8, labels, num_frames):
         model_input = preprocess_batch(cfg, features_u8, num_frames)
@@ -445,7 +450,7 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
                                 labels, inference=True)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
                                 labels, inference=True)
-        ls = _distill_losses(cfg, out_t, out_s, labels)
+        ls = _distill_losses(cfg, out_t, out_s, labels, label_loss_fn)
         # per-example CE for the epoch aggregator (validate.py:255-268)
         eps = 10e-6
         fl = labels.astype(jnp.float32)

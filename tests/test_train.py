@@ -320,6 +320,62 @@ def test_class_imbalance_loss_via_counts_file(tmp_path):
     assert np.isfinite(float(metrics["teacher_label_loss"]))
 
 
+def test_counts_file_read_at_build_time(tmp_path):
+    """The class-counts file is read ONCE when the step is built — never
+    under trace. Deleting it after build must not break the step."""
+    import os
+
+    cfg = TINY.replace(label_loss="CrossEntropyLossClassImbalance",
+                       class_counts_file=str(tmp_path / "counts_tv"))
+    with open(cfg.class_counts_file, "w") as f:
+        f.write("\n".join(str(1000 + i) for i in range(cfg.num_classes)))
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    step = jax.jit(build_distill_train_step(cfg, opt, top_k=5))
+    os.remove(cfg.class_counts_file)  # no file I/O may happen after build
+    feats, labels, nf = _tiny_batch(cfg, seed=12)
+    _, metrics = step(state, feats, labels, nf)
+    assert np.isfinite(float(metrics["teacher_label_loss"]))
+
+
+def test_periodic_save_names_match_state_step(tmp_path, monkeypatch):
+    """Every periodic checkpoint is named with the step stored IN the
+    saved state (no one-step lag from the lagged metric logging)."""
+    from efficientvideoclassification_youtube8m_tpu.cli import train as train_cli
+    from efficientvideoclassification_youtube8m_tpu.data import (
+        write_synthetic_frame_shard,
+    )
+
+    data = tmp_path / "shard.tfrecord"
+    write_synthetic_frame_shard(str(data), num_videos=12, seed=3,
+                                feature_names=("rgb", "audio"),
+                                feature_sizes=(6, 2), max_frames=40,
+                                vocab_size=30)
+    recorded = []
+    real_save = train_cli.save_checkpoint
+
+    def recording_save(train_dir, state, step, **kw):
+        recorded.append((step, int(jax.device_get(state.global_step))))
+        return real_save(train_dir, state, step, **kw)
+
+    monkeypatch.setattr(train_cli, "save_checkpoint", recording_save)
+    train_cli.main([
+        "--num_classes", "30", "--batch_size", "8", "--lstm_cells", "8",
+        "--lstm_layers", "2", "--max_num_frames", "40",
+        "--num_inputs_to_lstm", "4", "--num_inputs_L1", "2",
+        "--every_n", "2", "--feature_names", "rgb, audio",
+        "--feature_sizes", "6, 2", "--compute_dtype", "float32",
+        "--scan_unroll", "1", "--top_k", "5", "--num_epochs", "2",
+        "--train_dir", str(tmp_path / "model") + "/",
+        "--train_data_pattern", str(data),
+        "--start_new_model", "true",
+        "--save_model_secs", "0",  # save after every step
+    ])
+    assert len(recorded) >= 3  # 3 mid-loop saves + the final save
+    for named_step, state_step in recorded:
+        assert named_step == state_step, recorded
+
+
 def test_preprocess_zeroes_padding_frames():
     """The loader pads uint8 with 0, which dequantizes to -1.992 — rows
     past num_frames must come out exactly 0.0 like the reference's
