@@ -58,6 +58,7 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
             np.asarray(out["topk_idx"])[:valid],
             labels[:valid],
             np.asarray(out["per_example_loss"])[:valid],
+            perr_precision=np.asarray(out["perr_precision"])[:valid],
         )
         examples_processed += valid
         info["examples_per_second"] = examples_processed / (time.time() - start)

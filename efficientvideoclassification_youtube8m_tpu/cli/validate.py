@@ -57,7 +57,8 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path):
         topk_idx = np.asarray(out["topk_idx"])[:valid]
         per_loss = np.asarray(out["per_example_loss"])[:valid]
         info = evl_metrics.accumulate_topk(
-            topk_val, topk_idx, labels[:valid], per_loss
+            topk_val, topk_idx, labels[:valid], per_loss,
+            perr_precision=np.asarray(out["perr_precision"])[:valid],
         )
         examples_processed += valid
         info["examples_per_second"] = examples_processed / (time.time() - start)

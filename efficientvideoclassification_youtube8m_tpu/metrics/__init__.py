@@ -7,6 +7,7 @@ from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
     calculate_hit_at_one,
     calculate_precision_at_equal_recall_rate,
     flatten,
+    perr_precision_on_device,
     top_k_by_class,
     top_k_triplets,
     topk_on_device,
@@ -24,6 +25,7 @@ __all__ = [
     "calculate_hit_at_one",
     "calculate_precision_at_equal_recall_rate",
     "flatten",
+    "perr_precision_on_device",
     "top_k_by_class",
     "top_k_triplets",
     "topk_on_device",

@@ -110,6 +110,31 @@ def topk_on_device(predictions, k: int = 20):
     return jax.lax.top_k(predictions, k)
 
 
+def perr_precision_on_device(predictions, labels):
+    """EXACT per-video PERR precision on device: precision within the
+    top-|labels| predictions over the FULL score row
+    (reference eval_util.py:34-59) — exact even for videos with more
+    labels than the eval top_k. Returns [B] float32; rows with zero
+    labels contribute 0 (matching the reference's `[-0:]` whole-row
+    slice, whose precision is 0/num_classes = 0).
+
+    Ranking sorts the full row (one [B, V] device sort), so it never
+    truncates at k; ties rank lower-index first (the reference's
+    argpartition picks an arbitrary tie member — identical on the
+    continuous scores this consumes)."""
+    import jax.numpy as jnp
+
+    labels_f = labels.astype(jnp.float32)
+    V = predictions.shape[1]
+    n = jnp.sum(labels_f, axis=1).astype(jnp.int32)  # [B]
+    order = jnp.argsort(-predictions, axis=1)  # descending
+    ranked_labels = jnp.take_along_axis(labels_f, order, axis=1)
+    ranked_preds = jnp.take_along_axis(predictions, order, axis=1)
+    in_top_n = jnp.arange(V, dtype=jnp.int32)[None, :] < n[:, None]
+    hits = jnp.sum(ranked_labels * (ranked_preds > 0) * in_top_n, axis=1)
+    return jnp.where(n > 0, hits / jnp.maximum(n, 1).astype(jnp.float32), 0.0)
+
+
 def train_step_metrics(
     topk_values: np.ndarray,  # [B, k] sorted desc (from device top_k)
     topk_indices: np.ndarray,  # [B, k]
@@ -202,9 +227,13 @@ class EvaluationMetrics:
     ) -> Dict[str, float]:
         """Fast path: same GAP/mAP numerics from device-side top-k.
 
-        Hit@1 comes from the top-1 entry; PERR still needs the full label
-        row but only the top-k scores (exact whenever a video has <= k
-        labels, which holds for YT8M's 3.4 avg labels with k=20).
+        Hit@1 comes from the top-1 entry. PERR: pass `perr_precision`
+        (the [B] per-video precisions from `perr_precision_on_device`,
+        computed on the full score row inside the eval step) for EXACT
+        reference numerics; without it, PERR falls back to a top-k
+        approximation that is exact only for videos with <= k labels.
+        GAP/mAP from the top-k list ARE the reference's definition
+        (eval_util.py:82-124 pools per-video top-k triplets).
         """
         topk_values = np.asarray(topk_values)
         topk_indices = np.asarray(topk_indices)
@@ -217,21 +246,25 @@ class EvaluationMetrics:
         hits = labels[rows, topk_indices[:, 0]]
         mean_hit_at_one = float(np.average(hits))
 
-        # PERR within the top-k ranked list
-        aggregated_precision = 0.0
         top_labels = labels[rows[:, None], topk_indices]
-        for row in range(batch_size):
-            num_labels = int(np.sum(labels[row]))
-            n = min(num_labels, k)
-            if n == 0:
-                continue
-            # top-k values arrive sorted descending from lax.top_k
-            sel = slice(0, n)
-            item_precision = float(
-                np.sum(top_labels[row, sel] * (topk_values[row, sel] > 0))
-            ) / n
-            aggregated_precision += item_precision
-        mean_perr = aggregated_precision / batch_size
+        if perr_precision is not None:
+            # exact per-row precisions computed on device over the full row
+            mean_perr = float(np.sum(np.asarray(perr_precision))) / batch_size
+        else:
+            # PERR within the top-k ranked list (approximate for >k labels)
+            aggregated_precision = 0.0
+            for row in range(batch_size):
+                num_labels = int(np.sum(labels[row]))
+                n = min(num_labels, k)
+                if n == 0:
+                    continue
+                # top-k values arrive sorted descending from lax.top_k
+                sel = slice(0, n)
+                item_precision = float(
+                    np.sum(top_labels[row, sel] * (topk_values[row, sel] > 0))
+                ) / n
+                aggregated_precision += item_precision
+            mean_perr = aggregated_precision / batch_size
         mean_loss = float(np.mean(loss))
 
         out_predictions: List[List[float]] = [[] for _ in range(num_classes)]

@@ -220,6 +220,7 @@ def build_shardmap_eval_step(
         "per_example_loss": P(DATA_AXIS),
         "topk_val": P(DATA_AXIS, None),
         "topk_idx": P(DATA_AXIS, None),
+        "perr_precision": P(DATA_AXIS),
     }
     mapped = jax.shard_map(
         step, mesh=mesh, in_specs=batch_specs, out_specs=out_specs,

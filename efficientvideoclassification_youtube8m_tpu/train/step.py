@@ -460,12 +460,20 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
             axis=1,
         )
         topk_val, topk_idx = jax.lax.top_k(out_s["predictions"], top_k)
+        from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
+            perr_precision_on_device,
+        )
+
         return {
             **ls,
             "predictions": out_s["predictions"],
             "per_example_loss": per_example_loss,
             "topk_val": topk_val,
             "topk_idx": topk_idx,
+            # exact per-video PERR over the full score row (eval_util.py:34-59)
+            "perr_precision": perr_precision_on_device(
+                out_s["predictions"], labels
+            ),
         }
 
     return step
@@ -490,11 +498,18 @@ def build_eval_step(cfg: TrainConfig, top_k: int = 20,
             axis=1,
         )
         topk_val, topk_idx = jax.lax.top_k(out_s["predictions"], top_k)
+        from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
+            perr_precision_on_device,
+        )
+
         return {
             "predictions": out_s["predictions"],
             "per_example_loss": per_example_loss,
             "topk_val": topk_val,
             "topk_idx": topk_idx,
+            "perr_precision": perr_precision_on_device(
+                out_s["predictions"], labels
+            ),
         }
 
     return step

@@ -147,6 +147,50 @@ def test_topk_fastpath_matches_full_path():
     np.testing.assert_allclose(fast["aps"], full["aps"], rtol=1e-9)
 
 
+def test_exact_perr_with_many_label_videos():
+    """With perr_precision from the device helper, accumulate_topk's epoch
+    PERR is EXACT even for videos with more labels than top_k — equal to
+    the reference full-matrix path (eval_util.py:34-59). The top-k-only
+    fallback is NOT exact on such videos (regression guard)."""
+    rng = np.random.default_rng(7)
+    num_class, k = 60, 8
+    B = 10
+    preds = rng.uniform(size=(B, num_class))
+    labels = np.zeros((B, num_class))
+    # half the batch has 30 labels (>> k), half has 2
+    for v in range(B):
+        n = 30 if v % 2 == 0 else 2
+        labels[v, rng.choice(num_class, size=n, replace=False)] = 1
+
+    em_full = metrics.EvaluationMetrics(num_class, k)
+    info_full = em_full.accumulate(preds, labels, np.zeros(B))
+
+    vals, idx = metrics.topk_on_device(jnp.asarray(preds), k)
+    perr_rows = np.asarray(
+        metrics.perr_precision_on_device(jnp.asarray(preds), jnp.asarray(labels))
+    )
+    em_exact = metrics.EvaluationMetrics(num_class, k)
+    info_exact = em_exact.accumulate_topk(vals, idx, labels, np.zeros(B),
+                                          perr_precision=perr_rows)
+    np.testing.assert_allclose(info_exact["perr"], info_full["perr"], rtol=1e-6)
+    np.testing.assert_allclose(
+        em_exact.get()["avg_perr"], em_full.get()["avg_perr"], rtol=1e-6
+    )
+
+    em_approx = metrics.EvaluationMetrics(num_class, k)
+    info_approx = em_approx.accumulate_topk(vals, idx, labels, np.zeros(B))
+    assert abs(info_approx["perr"] - info_full["perr"]) > 1e-6
+
+
+def test_perr_precision_on_device_zero_labels():
+    preds = jnp.asarray(np.random.default_rng(0).uniform(size=(3, 10)))
+    labels = np.zeros((3, 10))
+    labels[0, [1, 2]] = 1
+    rows = np.asarray(metrics.perr_precision_on_device(preds, jnp.asarray(labels)))
+    assert rows[1] == 0.0 and rows[2] == 0.0
+    assert 0.0 <= rows[0] <= 1.0
+
+
 def test_map_calculator_validation():
     with pytest.raises(ValueError):
         metrics.MeanAveragePrecisionCalculator(1)
