@@ -95,8 +95,22 @@ def finetune(args):
     )
     writer = summary_lib.SummaryWriter(cfg.train_dir)
     last_save = time.time()
+    last_summary = time.time()
     start_time = time.time()
     logger.info("Entering training loop.")
+
+    def write_graph_summaries(metrics, global_step_val):
+        """In-graph scalars (train_finetune.py:229,285,297,322) + one
+        histogram per student variable, at save_summaries_secs cadence."""
+        writer.scalar("learning_rate", float(metrics["learning_rate"]),
+                      global_step_val)
+        writer.scalar("student_label_loss",
+                      float(metrics["student_label_loss"]), global_step_val)
+        writer.scalar("student_reg_loss",
+                      float(metrics["student_reg_loss"]), global_step_val)
+        summary_lib.write_variable_histograms(
+            writer, state.params_student, "model_student", global_step_val)
+        writer.flush()
 
     def log_step(metrics, labels, seconds_per_batch):
         global_step_val = int(metrics["global_step"])
@@ -122,6 +136,9 @@ def finetune(args):
         state, metrics = step_fn(state, f, l, n)
         if pending is not None:
             log_step(pending[0], pending[1], batch_start_time - pending[2])
+            if time.time() - last_summary > args.save_summaries_secs:
+                write_graph_summaries(pending[0], int(pending[0]["global_step"]))
+                last_summary = time.time()
         pending = (metrics, host_labels, batch_start_time)
         if time.time() - last_save > args.save_model_secs:
             # snapshot named with the step stored IN the saved state

@@ -97,6 +97,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    "per-device grads + one psum) instead of the GSPMD jit "
                    "path; requires model_parallelism=1")
     p.add_argument("--save_model_secs", type=int, default=30 * 60)
+    p.add_argument("--save_summaries_secs", type=int, default=120,
+                   help="cadence of the in-graph scalar + per-variable "
+                   "histogram summaries (the reference Supervisor's "
+                   "save_summaries_secs, train.py:503)")
     p.add_argument("--checkpoint_format", default="msgpack",
                    choices=["msgpack", "orbax"])
     p.add_argument("--use_native_io", type=_bool, default=True)

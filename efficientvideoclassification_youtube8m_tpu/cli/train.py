@@ -87,7 +87,30 @@ def train(args) -> None:
     writer = summary_lib.SummaryWriter(cfg.train_dir)
     start_time = time.time()
     last_save = time.time()
+    last_summary = time.time()
     logger.info("Entering training loop.")
+
+    def write_graph_summaries(metrics, global_step_val):
+        """The reference's in-graph summaries, emitted at the Supervisor's
+        save_summaries_secs cadence (train.py:238-239,298,363,373,426-427):
+        LR + loss scalars and one histogram per model variable."""
+        writer.scalar("learning_rate", float(metrics["learning_rate"]),
+                      global_step_val)
+        writer.scalar("learning_rate_stud", float(metrics["learning_rate"]),
+                      global_step_val)
+        writer.scalar("label_loss", float(metrics["teacher_label_loss"]),
+                      global_step_val)
+        writer.scalar("reg_loss", float(metrics["teacher_reg_loss"]),
+                      global_step_val)
+        writer.scalar("State_student_loss",
+                      float(metrics["student_loss_state"]), global_step_val)
+        writer.scalar("student_label_loss",
+                      float(metrics["student_label_loss"]), global_step_val)
+        summary_lib.write_variable_histograms(
+            writer, state.params_teacher, "model", global_step_val)
+        summary_lib.write_variable_histograms(
+            writer, state.params_student, "model_student", global_step_val)
+        writer.flush()
 
     def log_step(metrics, labels, seconds_per_batch):
         """Host-side metrics from the device top-k (equivalent to the
@@ -127,6 +150,9 @@ def train(args) -> None:
             if pending is not None:
                 log_step(pending[0], pending[1],
                          batch_start_time - pending[2])
+                if time.time() - last_summary > args.save_summaries_secs:
+                    write_graph_summaries(pending[0], int(pending[0]["global_step"]))
+                    last_summary = time.time()
             pending = (metrics, host_labels, batch_start_time)
             if time.time() - last_save > args.save_model_secs:
                 # name the snapshot with the step stored IN the saved

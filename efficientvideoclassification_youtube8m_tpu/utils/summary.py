@@ -50,6 +50,74 @@ def make_summary(name: str, value: float) -> bytes:
     return _len_field(1, val)
 
 
+def _default_bucket_limits() -> "np.ndarray":
+    """TF's default exponential histogram buckets (histogram.cc
+    InitDefaultBucketsInner): positives 1e-12 * 1.1^k, mirrored negatives,
+    closed with DBL_MAX on both ends."""
+    pos = []
+    v = 1e-12
+    while v < 1.7976931348623157e308:
+        pos.append(v)
+        v *= 1.1
+    pos.append(1.7976931348623157e308)
+    return np.asarray([-x for x in reversed(pos)] + pos)
+
+
+_BUCKET_LIMITS = _default_bucket_limits()
+
+
+def make_histogram(tag: str, values) -> bytes:
+    """Serialized Summary proto with one HistogramProto value — the wire
+    format `tf.summary.histogram` produces (the reference emits one per
+    model variable, train.py:426-427).
+
+    HistogramProto: min=1 max=2 num=3 sum=4 sum_squares=5 (doubles),
+    bucket_limit=6 bucket=7 (packed doubles); Summary.Value carries it in
+    field 5 (`histo`). Zero-count bucket runs are collapsed to their last
+    limit, matching TF's EncodeToProto(preserve_zero_buckets=false).
+    """
+    x = np.asarray(values, dtype=np.float64).ravel()
+    histo = b""
+    if x.size:
+        histo += _double_field(1, float(x.min()))
+        histo += _double_field(2, float(x.max()))
+    else:
+        # empty histogram: TF's initial min/max sentinels
+        histo += _double_field(1, _BUCKET_LIMITS[-1])
+        histo += _double_field(2, _BUCKET_LIMITS[0])
+    histo += _double_field(3, float(x.size))
+    histo += _double_field(4, float(x.sum()))
+    histo += _double_field(5, float(np.square(x).sum()))
+
+    # bucket i spans (limit[i-1], limit[i]]; searchsorted with side="left"
+    # maps v to the first limit >= v
+    counts = np.bincount(
+        np.searchsorted(_BUCKET_LIMITS, x, side="left"),
+        minlength=len(_BUCKET_LIMITS),
+    ).astype(np.float64)
+    limits_out, counts_out = [], []
+    i = 0
+    n = len(_BUCKET_LIMITS)
+    while i < n:
+        end = _BUCKET_LIMITS[i]
+        count = counts[i]
+        i += 1
+        if count <= 0.0:
+            while i < n and counts[i] <= 0.0:
+                end = _BUCKET_LIMITS[i]
+                i += 1
+        limits_out.append(end)
+        counts_out.append(count)
+    histo += _tag(6, 2) + write_varint(8 * len(limits_out)) + struct.pack(
+        f"<{len(limits_out)}d", *limits_out
+    )
+    histo += _tag(7, 2) + write_varint(8 * len(counts_out)) + struct.pack(
+        f"<{len(counts_out)}d", *counts_out
+    )
+    val = _len_field(1, str(tag).encode()) + _len_field(5, histo)
+    return _len_field(1, val)
+
+
 def make_event(
     summary: Optional[bytes] = None,
     step: int = 0,
@@ -81,11 +149,31 @@ class SummaryWriter:
     def scalar(self, tag: str, value: float, global_step: int = 0):
         self.add_summary(make_summary(tag, value), global_step)
 
+    def histogram(self, tag: str, values, global_step: int = 0):
+        self.add_summary(make_histogram(tag, values), global_step)
+
     def flush(self):
         self._writer._f.flush()
 
     def close(self):
         self._writer.close()
+
+
+def write_variable_histograms(
+    writer: SummaryWriter, params, prefix: str, global_step: int
+) -> None:
+    """One histogram per model variable, tag = variable path — the
+    rebuild of `tf.summary.histogram(variable.op.name, variable)` over
+    `slim.get_model_variables()` (train.py:426-427), emitted by the
+    train loops at the save_summaries_secs cadence."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
+    for path, leaf in flat:
+        name = prefix + "/" + "/".join(
+            str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+        )
+        writer.histogram(name, np.asarray(leaf), global_step)
 
 
 def add_global_step_summary(

@@ -48,6 +48,69 @@ def test_event_file_roundtrip(tmp_path):
     assert events[2]["values"][0] == ("Epoch/Eval_MAP", 0.5)
 
 
+def _decode_histo_event(buf):
+    """(tag, histo dict) from an Event holding one histogram Value."""
+    for fn, wt, v in iter_fields(buf):
+        if fn == 5 and wt == 2:
+            for sfn, swt, sv in iter_fields(bytes(v)):
+                if sfn == 1 and swt == 2:
+                    tag, histo = None, None
+                    for vfn, vwt, vv in iter_fields(bytes(sv)):
+                        if vfn == 1 and vwt == 2:
+                            tag = bytes(vv).decode()
+                        elif vfn == 5 and vwt == 2:  # Value.histo
+                            histo = {}
+                            for hfn, hwt, hv in iter_fields(bytes(vv)):
+                                if hwt == 1:
+                                    histo[hfn] = struct.unpack("<d", bytes(hv))[0]
+                                elif hwt == 2:  # packed doubles
+                                    histo[hfn] = np.frombuffer(
+                                        bytes(hv), dtype="<f8")
+                    return tag, histo
+    return None, None
+
+
+def test_histogram_event_wire_format(tmp_path):
+    """SummaryWriter.histogram writes a TB-parseable HistogramProto:
+    min/max/num/sum/sum_squares + collapsed bucket limits/counts whose
+    counts sum to num (train.py:426-427 per-variable histograms)."""
+    rng = np.random.default_rng(0)
+    values = np.concatenate([rng.normal(size=500), [-3.5, 0.0, 7.25]])
+    w = summary_lib.SummaryWriter(str(tmp_path))
+    w.histogram("model/rnn_l1/0/kernel", values, global_step=11)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    records = list(TFRecordReader(files[0]))
+    tag, histo = _decode_histo_event(records[1])
+    assert tag == "model/rnn_l1/0/kernel"
+    np.testing.assert_allclose(histo[1], values.min())
+    np.testing.assert_allclose(histo[2], values.max())
+    np.testing.assert_allclose(histo[3], values.size)
+    np.testing.assert_allclose(histo[4], values.sum())
+    np.testing.assert_allclose(histo[5], np.square(values).sum())
+    limits, counts = histo[6], histo[7]
+    assert len(limits) == len(counts)
+    np.testing.assert_allclose(counts.sum(), values.size)
+    assert np.all(np.diff(limits) > 0)  # strictly increasing limits
+    # every value lies within [first bucket's implied lower bound, last limit]
+    assert values.max() <= limits[-1]
+
+
+def test_write_variable_histograms(tmp_path):
+    params = {"rnn_l1": [{"kernel": np.ones((4, 8)), "bias": np.zeros(8)}]}
+    w = summary_lib.SummaryWriter(str(tmp_path))
+    summary_lib.write_variable_histograms(w, params, "model", 5)
+    w.close()
+    files = glob.glob(str(tmp_path / "events.out.tfevents.*"))
+    records = list(TFRecordReader(files[0]))
+    tags = set()
+    for r in records[1:]:
+        tag, histo = _decode_histo_event(r)
+        tags.add(tag)
+        assert histo[3] in (32.0, 8.0)  # num elements
+    assert tags == {"model/rnn_l1/0/kernel", "model/rnn_l1/0/bias"}
+
+
 def test_global_step_log_format():
     """utils.py:74-78 format string parity."""
     info = {"hit_at_one": 0.5, "perr": 0.25, "loss": 3.141,
