@@ -30,13 +30,16 @@ logger = logging.getLogger("eval")
 
 
 def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
-                    writer):
-    from efficientvideoclassification_youtube8m_tpu.parallel import device_prefetch
+                    writer, host):
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        device_prefetch,
+        distributed,
+    )
 
     evl_metrics = EvaluationMetrics(cfg.num_classes, args.top_k)
     loader = FrameDataLoader(
         args.eval_data_pattern,
-        batch_size=cfg.batch_size,
+        batch_size=host.local_batch_size,
         feature_names=cfg.feature_names_list,
         feature_sizes=cfg.feature_sizes_list,
         max_frames=cfg.max_num_frames,
@@ -44,23 +47,34 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         num_readers=cfg.num_readers,
         num_epochs=1,
         shuffle=False,
+        shard_index=host.process_index,
+        num_shards=host.process_count,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
     )
     examples_processed = 0
     start = time.time()
     for (f, l, n), (labels, pad) in device_prefetch(
-            loader, mesh, host_keep=lambda b: (b.labels, b.pad)):
+            distributed.sync_host_streams(loader, "eval"), mesh,
+            host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(params_student, f, l, n)
-        valid = labels.shape[0] - pad
-        info = evl_metrics.accumulate_topk(
-            np.asarray(out["topk_val"])[:valid],
-            np.asarray(out["topk_idx"])[:valid],
-            labels[:valid],
-            np.asarray(out["per_example_loss"])[:valid],
-            perr_precision=np.asarray(out["perr_precision"])[:valid],
+        rows, _ = distributed.gather_eval_rows(
+            {
+                "topk_val": distributed.local_rows(out["topk_val"]),
+                "topk_idx": distributed.local_rows(out["topk_idx"]),
+                "per_example_loss": distributed.local_rows(
+                    out["per_example_loss"]),
+                "perr_precision": distributed.local_rows(
+                    out["perr_precision"]),
+                "labels": labels,
+            },
+            pad,
         )
-        examples_processed += valid
+        info = evl_metrics.accumulate_topk(
+            rows["topk_val"], rows["topk_idx"], rows["labels"],
+            rows["per_example_loss"], perr_precision=rows["perr_precision"],
+        )
+        examples_processed += rows["topk_val"].shape[0]
         info["examples_per_second"] = examples_processed / (time.time() - start)
         logger.info(summary_lib.add_global_step_summary(
             writer, global_step_val, info, summary_scope="Eval"))
@@ -77,9 +91,12 @@ def evaluate(args):
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_eval_step,
         create_mesh,
+        distributed,
     )
 
+    distributed.initialize()  # no-op single-process
     cfg = flags_lib.config_from_args(args)
+    host = distributed.host_context(cfg.batch_size)
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     template = student_state_from_distill(
         init_distill_state(cfg, optimizer), optimizer
@@ -88,7 +105,9 @@ def evaluate(args):
     step_fn = build_sharded_eval_step(
         cfg, mesh, template.params_student, top_k=args.top_k
     )
-    writer = summary_lib.SummaryWriter(os.path.join(cfg.train_dir, "eval"))
+    writer = summary_lib.for_master(
+        os.path.join(cfg.train_dir, "eval"), host.is_master
+    )
 
     last_checkpoint = None
     while True:
@@ -100,7 +119,7 @@ def evaluate(args):
             state = restore_checkpoint(ckpt, template)
             evaluation_loop(cfg, args, state.params_student,
                             int(np.asarray(state.global_step)), step_fn, mesh,
-                            writer)
+                            writer, host)
             last_checkpoint = ckpt
         if args.run_once:
             break

@@ -38,10 +38,19 @@ def finetune(args):
         build_shardmap_finetune_step,
         create_mesh,
         device_prefetch,
+        distributed,
         place_state,
     )
 
+    distributed.initialize()  # no-op single-process; TF_CONFIG/JAX env else
     cfg = flags_lib.config_from_args(args)
+    host = distributed.host_context(cfg.batch_size)
+    if host.multi_host:
+        logger.info(
+            "Multi-host: process %d/%d, local batch %d of global %d",
+            host.process_index, host.process_count,
+            host.local_batch_size, cfg.batch_size,
+        )
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     template = student_state_from_distill(
         init_distill_state(cfg, optimizer), optimizer
@@ -80,7 +89,7 @@ def finetune(args):
 
     loader = FrameDataLoader(
         cfg.train_data_pattern,
-        batch_size=cfg.batch_size,
+        batch_size=host.local_batch_size,
         feature_names=cfg.feature_names_list,
         feature_sizes=cfg.feature_sizes_list,
         max_frames=cfg.max_num_frames,
@@ -89,11 +98,13 @@ def finetune(args):
         num_epochs=cfg.num_epochs,
         shuffle=True,
         seed=cfg.seed,
+        shard_index=host.process_index,
+        num_shards=host.process_count,
         drop_remainder=True,  # static shapes, no fabricated rows
         use_native=cfg.use_native_io,
         bagging=args.bagging,
     )
-    writer = summary_lib.SummaryWriter(cfg.train_dir)
+    writer = summary_lib.for_master(cfg.train_dir, host.is_master)
     last_save = time.time()
     last_summary = time.time()
     start_time = time.time()
@@ -114,8 +125,10 @@ def finetune(args):
 
     def log_step(metrics, labels, seconds_per_batch):
         global_step_val = int(metrics["global_step"])
-        info = train_step_metrics(np.asarray(metrics["topk_val"]),
-                                  np.asarray(metrics["topk_idx"]), labels)
+        # multi-host: this process's rows only (per-worker logging)
+        info = train_step_metrics(distributed.local_rows(metrics["topk_val"]),
+                                  distributed.local_rows(metrics["topk_idx"]),
+                                  labels)
         logger.info(
             "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| L_CE: %s",
             global_step_val, info["hit_at_one"], info["perr"], info["gap"],
@@ -125,13 +138,15 @@ def finetune(args):
         writer.scalar("model/Training_Perr", info["perr"], global_step_val)
         writer.scalar("model/Training_GAP", info["gap"], global_step_val)
         writer.scalar("global_step/Examples/Second",
-                      labels.shape[0] / seconds_per_batch, global_step_val)
+                      labels.shape[0] * host.process_count / seconds_per_batch,
+                      global_step_val)
         writer.flush()
 
     # one-step-lagged logging: the metric fetch overlaps device compute;
     # device_prefetch overlaps the next batch's H2D with this step
     pending = None
-    for (f, l, n), host_labels in device_prefetch(loader, mesh):
+    for (f, l, n), host_labels in device_prefetch(
+            distributed.sync_host_streams(loader, "train"), mesh):
         batch_start_time = time.time()
         state, metrics = step_fn(state, f, l, n)
         if pending is not None:
@@ -141,17 +156,20 @@ def finetune(args):
                 last_summary = time.time()
         pending = (metrics, host_labels, batch_start_time)
         if time.time() - last_save > args.save_model_secs:
-            # snapshot named with the step stored IN the saved state
-            save_checkpoint(cfg.train_dir, state,
-                            int(jax.device_get(state.global_step)),
-                            backend=args.checkpoint_format)
+            # snapshot named with the step stored IN the saved state;
+            # master-only under multi-host (reference is_chief)
+            if host.is_master:
+                save_checkpoint(cfg.train_dir, state,
+                                int(jax.device_get(state.global_step)),
+                                backend=args.checkpoint_format)
             last_save = time.time()
     if pending is not None:
         log_step(pending[0], pending[1], time.time() - pending[2])
     logger.info("Done training -- epoch limit reached.")
-    save_checkpoint(cfg.train_dir, state,
-                    int(jax.device_get(state.global_step)),
-                    backend=args.checkpoint_format)
+    if host.is_master:
+        save_checkpoint(cfg.train_dir, state,
+                        int(jax.device_get(state.global_step)),
+                        backend=args.checkpoint_format)
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

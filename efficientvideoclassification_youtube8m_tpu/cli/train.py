@@ -39,10 +39,22 @@ def train(args) -> None:
         build_shardmap_distill_step,
         create_mesh,
         device_prefetch,
+        distributed,
         place_state,
     )
 
+    # multi-host bring-up FIRST (before any backend/device use): no-op for
+    # single-process runs, TF_CONFIG/JAX-env cluster spec otherwise
+    # (reference worker dispatch, train.py:704-733)
+    distributed.initialize()
     cfg = flags_lib.config_from_args(args)
+    host = distributed.host_context(cfg.batch_size)
+    if host.multi_host:
+        logger.info(
+            "Multi-host: process %d/%d, local batch %d of global %d",
+            host.process_index, host.process_count,
+            host.local_batch_size, cfg.batch_size,
+        )
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     state = init_distill_state(cfg, optimizer)
 
@@ -70,7 +82,7 @@ def train(args) -> None:
 
     loader = FrameDataLoader(
         cfg.train_data_pattern,
-        batch_size=cfg.batch_size,
+        batch_size=host.local_batch_size,
         feature_names=cfg.feature_names_list,
         feature_sizes=cfg.feature_sizes_list,
         max_frames=cfg.max_num_frames,
@@ -79,12 +91,14 @@ def train(args) -> None:
         num_epochs=cfg.num_epochs,
         shuffle=True,
         seed=cfg.seed,
+        shard_index=host.process_index,
+        num_shards=host.process_count,
         drop_remainder=True,  # static shapes, no fabricated rows
         use_native=cfg.use_native_io,
         bagging=args.bagging,
     )
 
-    writer = summary_lib.SummaryWriter(cfg.train_dir)
+    writer = summary_lib.for_master(cfg.train_dir, host.is_master)
     start_time = time.time()
     last_save = time.time()
     last_summary = time.time()
@@ -114,11 +128,16 @@ def train(args) -> None:
 
     def log_step(metrics, labels, seconds_per_batch):
         """Host-side metrics from the device top-k (equivalent to the
-        reference's full-matrix numpy path for <=top_k labels/video)."""
-        topk_val = np.asarray(metrics["topk_val"])
-        topk_idx = np.asarray(metrics["topk_idx"])
+        reference's full-matrix numpy path for <=top_k labels/video).
+        Multi-host: each process logs over ITS rows of the global batch
+        (local_rows; zero cross-host traffic), like the reference's
+        per-worker logging."""
+        topk_val = distributed.local_rows(metrics["topk_val"])
+        topk_idx = distributed.local_rows(metrics["topk_idx"])
         global_step_val = int(metrics["global_step"])
-        examples_per_second = labels.shape[0] / seconds_per_batch
+        examples_per_second = (
+            labels.shape[0] * host.process_count / seconds_per_batch
+        )
         info = train_step_metrics(topk_val, topk_idx, labels)
         logger.info(
             "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| "
@@ -144,7 +163,9 @@ def train(args) -> None:
     try:
         # device_prefetch issues batch k+1's (async) H2D while batch k's
         # step computes — double-buffering the host->device edge.
-        for (f, l, n), host_labels in device_prefetch(loader, mesh):
+        # sync_host_streams keeps multi-host step counts aligned.
+        for (f, l, n), host_labels in device_prefetch(
+                distributed.sync_host_streams(loader, "train"), mesh):
             batch_start_time = time.time()
             state, metrics = step_fn(state, f, l, n)
             if pending is not None:
@@ -157,19 +178,22 @@ def train(args) -> None:
             if time.time() - last_save > args.save_model_secs:
                 # name the snapshot with the step stored IN the saved
                 # state (the reference's Saver uses the graph's own
-                # global_step, train.py:502) — not the lagged log step
-                save_checkpoint(cfg.train_dir, state,
-                                int(jax.device_get(state.global_step)),
-                                backend=args.checkpoint_format)
+                # global_step, train.py:502) — not the lagged log step.
+                # Only the master writes (reference is_chief, train.py:444).
+                if host.is_master:
+                    save_checkpoint(cfg.train_dir, state,
+                                    int(jax.device_get(state.global_step)),
+                                    backend=args.checkpoint_format)
                 last_save = time.time()
         if pending is not None:
             log_step(pending[0], pending[1], time.time() - pending[2])
     except KeyboardInterrupt:
         logger.info("Interrupted; saving checkpoint.")
     logger.info("Done training -- epoch limit reached.")
-    save_checkpoint(cfg.train_dir, state,
-                    int(jax.device_get(state.global_step)),
-                    backend=args.checkpoint_format)
+    if host.is_master:
+        save_checkpoint(cfg.train_dir, state,
+                        int(jax.device_get(state.global_step)),
+                        backend=args.checkpoint_format)
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

@@ -29,14 +29,18 @@ from efficientvideoclassification_youtube8m_tpu.utils import summary as summary_
 logger = logging.getLogger("validate")
 
 
-def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path):
-    from efficientvideoclassification_youtube8m_tpu.parallel import device_prefetch
+def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
+                    host):
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        device_prefetch,
+        distributed,
+    )
 
     evl_metrics = EvaluationMetrics(cfg.num_classes, args.top_k)
     global_step_val = int(np.asarray(state.global_step))
     loader = FrameDataLoader(
         args.eval_data_pattern,
-        batch_size=cfg.batch_size,
+        batch_size=host.local_batch_size,
         feature_names=cfg.feature_names_list,
         feature_sizes=cfg.feature_sizes_list,
         max_frames=cfg.max_num_frames,
@@ -44,23 +48,36 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path):
         num_readers=cfg.num_readers,
         num_epochs=1,
         shuffle=False,
+        shard_index=host.process_index,
+        num_shards=host.process_count,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
     )
     examples_processed = 0
     start = time.time()
     for (f, l, n), (labels, pad) in device_prefetch(
-            loader, mesh, host_keep=lambda b: (b.labels, b.pad)):
+            distributed.sync_host_streams(loader, "eval"), mesh,
+            host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(state.params_teacher, state.params_student, f, l, n)
-        valid = labels.shape[0] - pad
-        topk_val = np.asarray(out["topk_val"])[:valid]
-        topk_idx = np.asarray(out["topk_idx"])[:valid]
-        per_loss = np.asarray(out["per_example_loss"])[:valid]
-        info = evl_metrics.accumulate_topk(
-            topk_val, topk_idx, labels[:valid], per_loss,
-            perr_precision=np.asarray(out["perr_precision"])[:valid],
+        # local rows of the global outputs + this host's pad, gathered
+        # into the global valid-row stream (passthrough single-process)
+        rows, _ = distributed.gather_eval_rows(
+            {
+                "topk_val": distributed.local_rows(out["topk_val"]),
+                "topk_idx": distributed.local_rows(out["topk_idx"]),
+                "per_example_loss": distributed.local_rows(
+                    out["per_example_loss"]),
+                "perr_precision": distributed.local_rows(
+                    out["perr_precision"]),
+                "labels": labels,
+            },
+            pad,
         )
-        examples_processed += valid
+        info = evl_metrics.accumulate_topk(
+            rows["topk_val"], rows["topk_idx"], rows["labels"],
+            rows["per_example_loss"], perr_precision=rows["perr_precision"],
+        )
+        examples_processed += rows["topk_val"].shape[0]
         info["examples_per_second"] = examples_processed / (time.time() - start)
         logger.info(
             "%s | L_REP: %.4f",
@@ -87,9 +104,12 @@ def evaluate(args):
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_validate_step,
         create_mesh,
+        distributed,
     )
 
+    distributed.initialize()  # no-op single-process
     cfg = flags_lib.config_from_args(args)
+    host = distributed.host_context(cfg.batch_size)
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     template = init_distill_state(cfg, optimizer)
     mesh = create_mesh(model=args.model_parallelism)
@@ -97,7 +117,9 @@ def evaluate(args):
         cfg, mesh, template.params_teacher, template.params_student,
         top_k=args.top_k,
     )
-    writer = summary_lib.SummaryWriter(os.path.join(cfg.train_dir, "eval"))
+    writer = summary_lib.for_master(
+        os.path.join(cfg.train_dir, "eval"), host.is_master
+    )
 
     last_checkpoint = None
     while True:
@@ -107,7 +129,8 @@ def evaluate(args):
         elif ckpt != last_checkpoint:
             logger.info("Loading checkpoint for eval: %s", ckpt)
             state = restore_checkpoint(ckpt, template)
-            evaluation_loop(cfg, args, state, step_fn, mesh, writer, ckpt)
+            evaluation_loop(cfg, args, state, step_fn, mesh, writer, ckpt,
+                            host)
             last_checkpoint = ckpt
         if args.run_once:
             break

@@ -1,3 +1,4 @@
+from efficientvideoclassification_youtube8m_tpu.parallel import distributed
 from efficientvideoclassification_youtube8m_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -30,6 +31,7 @@ __all__ = [
     "device_prefetch",
     "make_params_specs",
     "shard_batch",
+    "distributed",
     "shard_state_specs",
     "to_named",
     "build_sequence_parallel_state_fn",

@@ -19,11 +19,13 @@ checkpoints + relaunch-and-resume (`latest_checkpoint` ->
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
-from typing import Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 
 
 def parse_tf_config(env: Optional[dict] = None) -> Optional[dict]:
@@ -85,3 +87,159 @@ def host_shard() -> Tuple[int, int]:
 def is_master() -> bool:
     """The reference's master election (`train.py:444`)."""
     return jax.process_index() == 0
+
+
+@dataclasses.dataclass(frozen=True)
+class HostContext:
+    """What one host needs to know about its place in the cluster.
+
+    The per-host counterpart of the reference's worker bookkeeping
+    (task index / is_chief, `train.py:704-733`): which input shards this
+    process reads, how many rows of the GLOBAL batch it contributes, and
+    whether it owns the side effects (summaries, checkpoints).
+    """
+
+    process_index: int
+    process_count: int
+    local_batch_size: int
+    is_master: bool
+
+    @property
+    def multi_host(self) -> bool:
+        return self.process_count > 1
+
+
+def host_context(global_batch_size: int) -> HostContext:
+    """Resolve this process's role after `initialize()`.
+
+    `--batch_size` keeps its single-process meaning — the GLOBAL batch —
+    and each host loads and transfers only its `1/process_count` slice
+    (the SPMD replacement for the reference's per-worker batches).
+    """
+    index, count = host_shard()
+    if global_batch_size % count:
+        raise ValueError(
+            f"--batch_size {global_batch_size} not divisible by "
+            f"{count} processes"
+        )
+    return HostContext(
+        process_index=index,
+        process_count=count,
+        local_batch_size=global_batch_size // count,
+        is_master=index == 0,
+    )
+
+
+def local_rows(x) -> np.ndarray:
+    """This host's rows of a batch-axis-sharded global array, in global
+    row order.
+
+    Under `make_array_from_process_local_data` each process's batch rows
+    live on its own devices, so the addressable shards of a step OUTPUT
+    that is sharded the same way are exactly the rows this host fed in —
+    the per-step train logging can stay host-local (the reference logs
+    per-worker metrics too) with zero cross-host traffic.
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    parts: Dict[int, np.ndarray] = {}
+    for shard in x.addressable_shards:
+        start = shard.index[0].start or 0
+        if start not in parts:  # model-axis replicas carry the same rows
+            parts[start] = np.asarray(shard.data)
+    return np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+
+
+def sync_host_streams(loader, mode: str = "train"):
+    """Keep every host's step count identical under multi-host SPMD.
+
+    Per-host input shards are never perfectly balanced, but every
+    process must join every collective — one host running out of
+    batches while the others keep stepping deadlocks the program (the
+    TF1 analogue is a worker parking on an empty queue,
+    `train.py:170-176`). Each iteration allgathers a 1-bit
+    "I have a batch" flag:
+
+      * mode="train": stop ALL hosts as soon as ANY host is exhausted
+        (the cross-host drop_remainder);
+      * mode="eval": run until EVERY host is exhausted — dry hosts feed
+        fully-padded dummy batches (pad == batch rows) that the metric
+        accumulation strips, so no real example is dropped.
+
+    Single-process: a passthrough with zero overhead.
+    """
+    if jax.process_count() == 1:
+        yield from loader
+        return
+
+    from jax.experimental import multihost_utils
+
+    from efficientvideoclassification_youtube8m_tpu.data.loader import FrameBatch
+
+    def dummy_batch():
+        return FrameBatch(
+            video_ids=[""] * loader.batch_size,
+            features=np.zeros(
+                (loader.batch_size, loader.max_frames, loader.total_size),
+                np.uint8,
+            ),
+            labels=np.zeros((loader.batch_size, loader.vocab_size), bool),
+            num_frames=np.ones((loader.batch_size,), np.int32),
+            pad=loader.batch_size,
+        )
+
+    it = iter(loader)
+    while True:
+        try:
+            batch = next(it)
+            have = 1
+        except StopIteration:
+            batch = None
+            have = 0
+        flags = np.asarray(
+            multihost_utils.process_allgather(np.asarray([have], np.int32))
+        ).reshape(-1)
+        if mode == "train":
+            if not flags.all():
+                return
+        else:
+            if not flags.any():
+                return
+            if batch is None:
+                batch = dummy_batch()
+        yield batch
+
+
+def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.ndarray], int]:
+    """Assemble the GLOBAL (all-host) eval rows for metric accumulation.
+
+    Each host passes its local `[local_B, ...]` arrays plus how many of
+    its trailing rows are padding (eval tail batches pad per host). The
+    result concatenates every host's VALID rows in process order, so the
+    epoch metrics — GAP's global top-k heap in particular — see the same
+    stream a single-process run would. Single-process: a passthrough.
+    """
+    if jax.process_count() == 1:
+        arrays = {k: np.asarray(v) for k, v in arrays.items()}
+        if pad:
+            arrays = {k: v[: v.shape[0] - pad] for k, v in arrays.items()}
+        return arrays, pad
+
+    from jax.experimental import multihost_utils
+
+    local = {k: np.asarray(v) for k, v in arrays.items()}
+    pads = np.asarray(
+        multihost_utils.process_allgather(np.asarray([pad], np.int32))
+    ).reshape(-1)
+    gathered = {
+        k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
+        for k, v in local.items()
+    }
+    block = next(iter(local.values())).shape[0]
+    keep = np.concatenate(
+        [
+            np.arange(p * block, (p + 1) * block - int(pads[p]))
+            for p in range(len(pads))
+        ]
+    )
+    return {k: v[keep] for k, v in gathered.items()}, int(pads.sum())

@@ -115,10 +115,31 @@ def to_named(tree_of_specs: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(mesh: Mesh, features, labels, num_frames):
-    """Place host batch arrays sharded over the data axis."""
+    """Place host batch arrays sharded over the data axis.
+
+    Single process: an async `device_put` (the H2D double-buffering in
+    `device_prefetch` relies on it). Multi-host: each process holds only
+    its `1/process_count` slice of the global batch, so the global array
+    is assembled with `jax.make_array_from_process_local_data` — the
+    local rows stay on the local devices and only metadata crosses DCN.
+    """
     fs = NamedSharding(mesh, P(DATA_AXIS, None, None))
     ls = NamedSharding(mesh, P(DATA_AXIS, None))
     ns = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        count = jax.process_count()
+
+        def assemble(x, sharding):
+            global_shape = (x.shape[0] * count,) + tuple(x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x), global_shape
+            )
+
+        return (
+            assemble(features, fs),
+            assemble(labels, ls),
+            assemble(num_frames, ns),
+        )
     return (
         jax.device_put(features, fs),
         jax.device_put(labels, ls),

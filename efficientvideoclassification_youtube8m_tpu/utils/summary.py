@@ -159,6 +159,32 @@ class SummaryWriter:
         self._writer.close()
 
 
+class NullSummaryWriter(SummaryWriter):
+    """Drop-everything writer for non-master processes.
+
+    Multi-host runs elect one summary/checkpoint owner (the reference's
+    is_chief, train.py:444); the other hosts keep the identical control
+    flow but write nothing.
+    """
+
+    def __init__(self, logdir: str = ""):
+        pass
+
+    def add_summary(self, summary: bytes, global_step: int = 0):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def for_master(logdir: str, is_master: bool = True) -> SummaryWriter:
+    """SummaryWriter on the master process, NullSummaryWriter elsewhere."""
+    return SummaryWriter(logdir) if is_master else NullSummaryWriter()
+
+
 def write_variable_histograms(
     writer: SummaryWriter, params, prefix: str, global_step: int
 ) -> None:

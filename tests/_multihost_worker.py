@@ -1,0 +1,129 @@
+"""Worker for the REAL 2-process multi-host test (tests/test_multihost.py).
+
+Each of the two processes owns 2 virtual CPU devices (4 global). It
+exercises the full multi-host path the CLIs use: TF_CONFIG-driven
+`distributed.initialize()`, `host_context`, global-batch assembly via
+`shard_batch` / `jax.make_array_from_process_local_data`, a jitted SPMD
+step over the global mesh, `local_rows`, `gather_eval_rows`, and
+`sync_host_streams` on uneven per-host streams.
+
+Usage: python tests/_multihost_worker.py <coordinator_port> <process_id>
+"""
+
+import json
+import os
+import sys
+
+PORT = sys.argv[1]
+PID = int(sys.argv[2])
+
+# The reference's cluster-spec shape (train.py:710-718): one master, one
+# worker; the master's address doubles as the JAX coordinator.
+os.environ["TF_CONFIG"] = json.dumps(
+    {
+        "cluster": {
+            "master": [f"127.0.0.1:{PORT}"],
+            "worker": [f"127.0.0.1:{int(PORT) + 1}"],
+        },
+        "task": {"type": "master" if PID == 0 else "worker", "index": 0},
+    }
+)
+
+import jax  # noqa: E402
+
+# sitecustomize pins the axon TPU tunnel; env vars alone are too late
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from efficientvideoclassification_youtube8m_tpu.data.loader import (  # noqa: E402
+    FrameBatch,
+)
+from efficientvideoclassification_youtube8m_tpu.parallel import (  # noqa: E402
+    create_mesh,
+    distributed,
+    shard_batch,
+)
+
+distributed.initialize()
+assert jax.process_count() == 2, jax.process_count()
+assert jax.process_index() == PID, (jax.process_index(), PID)
+
+host = distributed.host_context(8)
+assert host.local_batch_size == 4
+assert host.multi_host
+assert host.is_master == (PID == 0)
+assert distributed.is_master() == (PID == 0)
+
+# --- global batch assembly + SPMD step + local_rows -------------------
+mesh = create_mesh()  # 4 global devices on the data axis
+assert mesh.devices.size == 4
+
+base = (PID + 1) * 10
+features = np.full((4, 3, 5), base, np.uint8)
+features += np.arange(4, dtype=np.uint8)[:, None, None]  # distinct rows
+labels = np.zeros((4, 7), bool)
+num_frames = np.full((4,), 3, np.int32)
+f, l, n = shard_batch(mesh, features, labels, num_frames)
+assert f.shape == (8, 3, 5), f.shape  # global batch
+
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+
+@jax.jit
+def step(x):
+    total = x.astype("float32").sum()  # psum over the data axis
+    rows = x.astype("float32").sum(axis=(1, 2))
+    return total, rows
+
+
+total, rows = step(f)
+# both hosts' blocks contribute: sum over rows 10..13 and 20..23, x15
+expected_total = sum((10 + i) * 15 for i in range(4)) + sum(
+    (20 + i) * 15 for i in range(4)
+)
+assert float(total) == expected_total, (float(total), expected_total)
+
+# this host's rows of the batch-sharded output == the rows it fed in
+mine = distributed.local_rows(rows)
+np.testing.assert_allclose(mine, [(base + i) * 15.0 for i in range(4)])
+
+# --- gather_eval_rows: per-host pads stripped, global order ------------
+local_vals = np.asarray([PID * 100 + i for i in range(4)], np.float32)
+pad = 1 if PID == 0 else 2
+gathered, total_pad = distributed.gather_eval_rows({"x": local_vals}, pad)
+np.testing.assert_array_equal(
+    gathered["x"], np.asarray([0, 1, 2, 100, 101], np.float32)
+)
+assert total_pad == 3
+
+# --- sync_host_streams on uneven streams --------------------------------
+
+
+class FakeLoader:
+    batch_size, max_frames, total_size, vocab_size = 4, 3, 5, 7
+
+    def __init__(self, k):
+        self.k = k
+
+    def __iter__(self):
+        for i in range(self.k):
+            yield FrameBatch(
+                video_ids=[f"v{i}"] * 4,
+                features=np.zeros((4, 3, 5), np.uint8),
+                labels=np.zeros((4, 7), bool),
+                num_frames=np.ones((4,), np.int32),
+                pad=0,
+            )
+
+
+k = 3 if PID == 0 else 2
+train_batches = list(distributed.sync_host_streams(FakeLoader(k), "train"))
+assert len(train_batches) == 2, len(train_batches)  # cross-host drop tail
+
+eval_batches = list(distributed.sync_host_streams(FakeLoader(k), "eval"))
+assert len(eval_batches) == 3, len(eval_batches)  # dry host pads
+pads = [b.pad for b in eval_batches]
+assert pads == ([0, 0, 0] if PID == 0 else [0, 0, 4]), pads
+
+print("MULTIHOST_OK")
