@@ -2,7 +2,9 @@
 
 Rebuild of `/root/reference/code_student_uniform/inspect_checkpoint_myfile.py`
 (`print_tensors_in_checkpoint_file`): prints every tensor path, shape,
-dtype and optionally values from a msgpack checkpoint.
+dtype and optionally values — from this framework's msgpack checkpoints
+AND from the reference's TF-V2 bundles (read with the pure-Python
+`data/tf_checkpoint.py`, no TensorFlow needed).
 """
 
 from __future__ import annotations
@@ -14,10 +16,34 @@ import numpy as np
 
 import flax.serialization
 
+from efficientvideoclassification_youtube8m_tpu.data.tf_checkpoint import (
+    TFCheckpointReader,
+    is_tf_checkpoint,
+)
+
+
+def print_tensors_in_tf_checkpoint(
+    prefix: str, tensor_name: str = "", all_tensors: bool = False
+):
+    """The reference tool's exact use case (inspect_checkpoint_myfile.py:
+    21-34): enumerate a TF checkpoint, or dump one tensor by name."""
+    if prefix.endswith(".index"):
+        prefix = prefix[: -len(".index")]
+    reader = TFCheckpointReader(prefix)
+    for name, shape, dtype in reader.list_variables():
+        if tensor_name and tensor_name not in name:
+            continue
+        print(f"tensor_name: {name}  shape: {list(shape)}  dtype: {dtype}")
+        if all_tensors or tensor_name:
+            print(reader.get_tensor(name))
+
 
 def print_tensors_in_checkpoint_file(
     file_name: str, tensor_name: str = "", all_tensors: bool = False
 ):
+    if is_tf_checkpoint(file_name):
+        print_tensors_in_tf_checkpoint(file_name, tensor_name, all_tensors)
+        return
     with open(file_name, "rb") as f:
         raw = flax.serialization.msgpack_restore(f.read())
 

@@ -93,16 +93,33 @@ def _list_checkpoints(train_dir: str) -> List[str]:
 
 def latest_checkpoint(train_dir: str) -> Optional[str]:
     """`tf.train.latest_checkpoint` equivalent: pointer file first, then
-    a directory scan fallback."""
+    a directory scan fallback. Reads BOTH this framework's pointer files
+    and the reference's TF-format ones (`model_checkpoint_path: "..."`),
+    so --train_dir can point straight at a reference train directory."""
     pointer = os.path.join(train_dir, _POINTER)
     if os.path.exists(pointer):
         with open(pointer) as f:
             for line in f:
-                candidate = os.path.join(train_dir, line.strip())
+                line = line.strip()
+                if line.startswith(("model_checkpoint_path:",
+                                    "all_model_checkpoint_paths:")):
+                    line = line.split(":", 1)[1].strip().strip('"')
+                    if not os.path.isabs(line):
+                        line = os.path.join(train_dir, line)
+                    if os.path.exists(line + ".index"):
+                        return line
+                    continue
+                candidate = os.path.join(train_dir, line)
                 if os.path.exists(candidate):
                     return candidate
     existing = _list_checkpoints(train_dir)
-    return existing[0] if existing else None
+    if existing:
+        return existing[0]
+    from efficientvideoclassification_youtube8m_tpu.data.tf_checkpoint import (
+        latest_tf_checkpoint,
+    )
+
+    return latest_tf_checkpoint(train_dir)
 
 
 def checkpoint_step(path: str) -> int:
@@ -112,7 +129,21 @@ def checkpoint_step(path: str) -> int:
 
 def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore into a template pytree (shapes/dtypes from `target`).
-    Backend auto-detected: orbax checkpoints are directories."""
+    Backend auto-detected: orbax checkpoints are directories; reference
+    TF-V2 bundles (`<path>.index` exists) route through the importer, so
+    models trained with the reference code load transparently."""
+    from efficientvideoclassification_youtube8m_tpu.data.tf_checkpoint import (
+        is_tf_checkpoint,
+    )
+
+    if is_tf_checkpoint(path):
+        from efficientvideoclassification_youtube8m_tpu.train.tf_import import (
+            import_tf_checkpoint,
+        )
+
+        if path.endswith(".index"):
+            path = path[: -len(".index")]
+        return import_tf_checkpoint(path, target)
     if os.path.isdir(path):
         return _orbax_checkpointer().restore(
             os.path.abspath(path), jax.device_get(target)

@@ -1,0 +1,273 @@
+"""TF Saver-V2 checkpoint import (VERDICT r1 #2).
+
+Fixtures are written by REAL TensorFlow (tf.compat.v1.train.Saver, the
+same writer the reference uses); the reader/importer under test is the
+package's pure-Python implementation (`data/tf_checkpoint.py`,
+`train/tf_import.py`) — no TF inside the framework.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow.compat.v1")
+
+from efficientvideoclassification_youtube8m_tpu.data.tf_checkpoint import (
+    TFCheckpointReader,
+    _snappy_decompress,
+    is_tf_checkpoint,
+    latest_tf_checkpoint,
+)
+from efficientvideoclassification_youtube8m_tpu.train import (
+    init_distill_state,
+    latest_checkpoint,
+    make_optimizer,
+    restore_checkpoint,
+    student_state_from_distill,
+)
+from efficientvideoclassification_youtube8m_tpu.train.tf_import import (
+    moe_bias_from_tf,
+    moe_bias_to_tf,
+    moe_weights_from_tf,
+    moe_weights_to_tf,
+)
+from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+tf.disable_eager_execution()
+
+
+def _tiny_cfg():
+    return TrainConfig(
+        num_classes=12,
+        lstm_cells=6,
+        lstm_layers=2,
+        max_num_frames=20,
+        num_inputs_to_lstm=4,
+        num_inputs_L1=2,
+        feature_sizes="5, 3",
+        scan_unroll=1,
+        compute_dtype="float32",
+    )
+
+
+def _save_tf_fixture(tmp_path, state, global_step=84, with_adam=True):
+    """Write a reference-shaped TF checkpoint holding `state`'s params:
+    reference var names (validate.py:350-381), reference MoE column
+    layout, optional Adam slots + beta powers."""
+    import jax
+
+    def tf_vars_for(scope, params, adam_t):
+        out = {}
+        for lk, ln in (("rnn_l1", 1), ("rnn_l2", 2)):
+            for i, cell in enumerate(params[lk]):
+                base = (f"{scope}/RNN_L{ln}/rnn/multi_rnn_cell/cell_{i}"
+                        "/basic_lstm_cell")
+                out[f"{base}/kernel"] = np.asarray(cell["kernel"])
+                out[f"{base}/bias"] = np.asarray(cell["bias"])
+        clf = params["classifier"]
+        out[f"{scope}/classifier/gates/weights"] = moe_weights_to_tf(
+            np.asarray(clf["gates"]["w"]))
+        out[f"{scope}/classifier/experts/weights"] = moe_weights_to_tf(
+            np.asarray(clf["experts"]["w"]))
+        out[f"{scope}/classifier/experts/biases"] = moe_bias_to_tf(
+            np.asarray(clf["experts"]["b"]))
+        return out
+
+    rng = np.random.default_rng(7)
+    tensors = {"global_step": np.int64(global_step)}
+    tensors.update(tf_vars_for("model", state.params_teacher, 5))
+    tensors.update(tf_vars_for("model_student", state.params_student, 9))
+    if with_adam:
+        for name in [n for n in list(tensors) if n != "global_step"]:
+            tensors[name + "/Adam"] = rng.normal(
+                size=tensors[name].shape).astype(np.float32)
+            tensors[name + "/Adam_1"] = np.abs(rng.normal(
+                size=tensors[name].shape)).astype(np.float32)
+        tensors["beta1_power"] = np.float32(0.9 ** 5)    # teacher: t=5
+        tensors["beta1_power_1"] = np.float32(0.9 ** 9)  # student: t=9
+        tensors["beta2_power"] = np.float32(0.999 ** 5)
+        tensors["beta2_power_1"] = np.float32(0.999 ** 9)
+
+    g = tf.Graph()
+    with g.as_default():
+        tf_vars = {
+            name: tf.get_variable(name, initializer=val)
+            for name, val in tensors.items()
+        }
+        saver = tf.train.Saver(tf_vars)
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            prefix = saver.save(
+                sess, os.path.join(str(tmp_path), "model.ckpt"),
+                global_step=global_step, write_meta_graph=False,
+            )
+    return prefix, tensors
+
+
+def test_moe_layout_round_trip_and_semantics():
+    rng = np.random.default_rng(0)
+    d, m, v = 5, 3, 7
+    w_tf = rng.normal(size=(d, v * m)).astype(np.float32)
+    w = moe_weights_from_tf(w_tf, m)
+    assert w.shape == (d, m, v)
+    for c in range(v):
+        for k in range(m):
+            np.testing.assert_array_equal(w[:, k, c], w_tf[:, c * m + k])
+    np.testing.assert_array_equal(moe_weights_to_tf(w), w_tf)
+
+    b_tf = rng.normal(size=(v * m,)).astype(np.float32)
+    b = moe_bias_from_tf(b_tf, m)
+    for c in range(v):
+        for k in range(m):
+            assert b[k, c] == b_tf[c * m + k]
+    np.testing.assert_array_equal(moe_bias_to_tf(b), b_tf)
+
+
+def test_reader_round_trips_tf_written_bundle(tmp_path):
+    rng = np.random.default_rng(1)
+    tensors = {
+        "a/kernel": rng.normal(size=(9, 33)).astype(np.float32),
+        "a/bias": rng.normal(size=(33,)).astype(np.float32),
+        "counts": rng.integers(0, 100, size=(4, 5)).astype(np.int64),
+        "flags": np.array([True, False, True]),
+        "scalar": np.float64(3.25),
+    }
+    g = tf.Graph()
+    with g.as_default():
+        tf_vars = {n: tf.get_variable(n, initializer=v)
+                   for n, v in tensors.items()}
+        saver = tf.train.Saver(tf_vars)
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            prefix = saver.save(sess, os.path.join(str(tmp_path), "m.ckpt"),
+                                write_meta_graph=False)
+
+    assert is_tf_checkpoint(prefix)
+    assert is_tf_checkpoint(prefix + ".index")
+    reader = TFCheckpointReader(prefix)
+    assert reader.variable_names() == sorted(tensors)
+    listed = {n: (s, d) for n, s, d in reader.list_variables()}
+    assert listed["a/kernel"] == ((9, 33), "float32")
+    assert listed["scalar"] == ((), "float64")
+    for name, val in tensors.items():
+        got = reader.get_tensor(name)
+        assert got.dtype == val.dtype
+        np.testing.assert_array_equal(got, val)
+
+
+def test_import_distill_state_full(tmp_path):
+    import jax
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    golden = init_distill_state(cfg, opt)
+    prefix, tensors = _save_tf_fixture(tmp_path, golden, global_step=84)
+
+    template = init_distill_state(cfg, opt, rng=jax.random.PRNGKey(99))
+    restored = restore_checkpoint(prefix, template)
+
+    # params: exact round trip through the reference layout
+    for got, want in zip(
+        jax.tree_util.tree_leaves(
+            (restored.params_teacher, restored.params_student)),
+        jax.tree_util.tree_leaves(
+            (golden.params_teacher, golden.params_student)),
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(restored.global_step) == 84
+
+    # Adam moments imported (teacher slot count from beta1_power=0.9^5)
+    assert int(restored.opt_teacher.count) == 5
+    assert int(restored.opt_student.count) == 9
+    np.testing.assert_array_equal(
+        np.asarray(restored.opt_teacher.mu["rnn_l1"][0]["kernel"]),
+        tensors["model/RNN_L1/rnn/multi_rnn_cell/cell_0/basic_lstm_cell"
+                "/kernel/Adam"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.opt_student.nu["classifier"]["experts"]["b"]),
+        moe_bias_from_tf(
+            tensors["model_student/classifier/experts/biases/Adam_1"],
+            golden.params_student["classifier"]["experts"]["b"].shape[0],
+        ),
+    )
+
+    # forward parity: imported teacher == golden teacher on a real batch
+    from efficientvideoclassification_youtube8m_tpu.train.step import (
+        forward_teacher,
+        preprocess_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    feats = rng.integers(
+        0, 256, size=(4, cfg.max_num_frames, cfg.total_feature_size),
+        dtype=np.uint8)
+    nf = np.asarray([20, 7, 13, 4], np.int32)
+    x = preprocess_batch(cfg, feats)
+    out_golden = forward_teacher(cfg, golden.params_teacher, x, nf)
+    out_imported = forward_teacher(cfg, restored.params_teacher, x, nf)
+    np.testing.assert_array_equal(
+        np.asarray(out_golden["predictions"]),
+        np.asarray(out_imported["predictions"]),
+    )
+
+
+def test_import_student_state_without_adam(tmp_path):
+    import jax
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    golden = init_distill_state(cfg, opt)
+    prefix, _ = _save_tf_fixture(tmp_path, golden, global_step=12,
+                                 with_adam=False)
+
+    template = student_state_from_distill(
+        init_distill_state(cfg, opt, rng=jax.random.PRNGKey(5)), opt
+    )
+    restored = restore_checkpoint(prefix, template)
+    for got, want in zip(
+        jax.tree_util.tree_leaves(restored.params_student),
+        jax.tree_util.tree_leaves(golden.params_student),
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(restored.global_step) == 12
+    assert int(restored.opt_student.count) == 0  # no slots -> fresh Adam
+
+
+def test_latest_checkpoint_reads_reference_pointer_file(tmp_path):
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    prefix, _ = _save_tf_fixture(tmp_path, state, global_step=84)
+    # tf.train.Saver wrote the reference-format pointer file itself
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoint"))
+    assert latest_checkpoint(str(tmp_path)) == prefix
+    assert latest_tf_checkpoint(str(tmp_path)) == prefix
+
+
+def test_inspect_checkpoint_prints_tf(tmp_path, capsys):
+    from efficientvideoclassification_youtube8m_tpu.cli import (
+        inspect_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    prefix, _ = _save_tf_fixture(tmp_path, state, with_adam=False)
+    inspect_checkpoint.main(["--file_name", prefix])
+    out = capsys.readouterr().out
+    assert ("tensor_name: model/RNN_L1/rnn/multi_rnn_cell/cell_0/"
+            "basic_lstm_cell/kernel") in out
+    assert "tensor_name: global_step  shape: []  dtype: int64" in out
+
+
+def test_snappy_decoder():
+    # literal "hello " + copy(offset=6, len=6) + literal "!" = "hello hello !"?
+    # Build: uncompressed length varint, literal tag, data, 1-byte-offset copy
+    payload = b"hello "
+    lit_tag = bytes([(len(payload) - 1) << 2])
+    copy_tag = bytes([((6 - 4) & 0x7) << 2 | 1 | (0 << 5), 6])  # len 6, off 6
+    raw = bytes([13]) + lit_tag + payload + copy_tag + bytes([0 << 2]) + b"!"
+    out = _snappy_decompress(memoryview(raw))
+    assert out == b"hello hello !"
