@@ -1,16 +1,22 @@
-"""Benchmark: teacher+student distillation training throughput on one chip.
+"""Benchmark: flagship throughput on one chip.
 
-Measures the flagship workload — the reference's `run_train.sh`
-configuration (HierarchicalLstmModel 2x1024, MoE head, 4716 classes,
-batch 256, 300-frame videos, every_n=10 student) — as steady-state
-videos/sec for the full jitted train step (both towers fwd+bwd + both
-Adam updates).
+Primary metric — teacher+student distillation TRAIN throughput: the
+reference's `run_train.sh` configuration (HierarchicalLstmModel 2x1024,
+MoE head, 4716 classes, 300-frame videos, every_n=10 student) as
+steady-state videos/sec for the full jitted train step (both towers
+fwd+bwd + both Adam updates).
+
+Also measured and reported in the same JSON line (VERDICT r1 #9):
+  * serving_videos_per_sec — the student inference path the serving
+    API uses (Pallas fused LSTM on single-chip bf16, predictions only);
+  * eval_videos_per_sec — the full cli/eval step (student forward +
+    per-example CE + top-k + exact PERR precision).
 
 Baseline: the reference's logged TF1.3 run peaks at ~4.3 videos/sec
 (global_step/sec 0.0167 x batch 256, /root/reference/README.md:113-123;
 BASELINE.md). vs_baseline is the speedup over that number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -81,6 +87,108 @@ def run(batch_size: int, compute_dtype: str):
     return B / per_step
 
 
+def _bench_batch(cfg, rng):
+    B = cfg.batch_size
+    feats = rng.integers(
+        0, 256, size=(B, cfg.max_num_frames, cfg.total_feature_size),
+        dtype=np.uint8,
+    )
+    labels = np.zeros((B, cfg.num_classes), bool)
+    for i in range(B):
+        labels[i, rng.choice(cfg.num_classes, 4, replace=False)] = True
+    nf = rng.integers(30, cfg.max_num_frames + 1, size=B).astype(np.int32)
+    return feats, labels, nf
+
+
+def _timed_videos_per_sec(fn, sync, batch: int, iters: int = 10,
+                          windows: int = 3) -> float:
+    """Steady-state videos/s; sync() must FETCH a value (block_until_ready
+    is unreliable through the relay)."""
+    fn()
+    sync()  # compile + settle
+    best = None
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        sync()
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return batch / best
+
+
+def run_serving(batch_size: int, compute_dtype: str) -> float:
+    """Student serving path: the Predictor's jitted forward (predictions
+    only) on device-resident uint8 batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.serving import Predictor
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        init_distill_state,
+        make_optimizer,
+    )
+    from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=batch_size, compute_dtype=compute_dtype)
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    predictor = Predictor(cfg, state.params_student, serve_batch=batch_size)
+
+    rng = np.random.default_rng(1)
+    feats, _, nf = _bench_batch(cfg, rng)
+    f, n = jnp.asarray(feats), jnp.asarray(nf)
+
+    holder = {}
+
+    def fn():
+        holder["preds"] = predictor._fwd(predictor.params, f, n)
+
+    return _timed_videos_per_sec(
+        fn, lambda: float(holder["preds"][0, 0]), batch_size
+    )
+
+
+def run_eval(batch_size: int, compute_dtype: str) -> float:
+    """Full cli/eval step: student forward + per-example CE + top-k +
+    exact PERR precision, with the eval in/out shardings."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_sharded_eval_step,
+        create_mesh,
+        shard_batch,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        init_distill_state,
+        make_optimizer,
+        student_state_from_distill,
+    )
+    from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=batch_size, compute_dtype=compute_dtype)
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    mesh = create_mesh()
+    step = build_sharded_eval_step(cfg, mesh, state.params_student,
+                                   top_k=cfg.top_k)
+    params = jax.device_put(state.params_student)
+
+    rng = np.random.default_rng(2)
+    feats, labels, nf = _bench_batch(cfg, rng)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+
+    holder = {}
+
+    def fn():
+        holder["out"] = step(params, f, l, n)
+
+    return _timed_videos_per_sec(
+        fn, lambda: float(holder["out"]["per_example_loss"][0]), batch_size
+    )
+
+
 def main():
     videos_per_sec = None
     for batch, dtype in [(512, "bfloat16"), (256, "bfloat16"),
@@ -95,11 +203,29 @@ def main():
         print(json.dumps({"metric": "train_videos_per_sec_per_chip", "value": 0,
                           "unit": "videos/s", "vs_baseline": 0}))
         sys.exit(1)
+
+    # secondary metrics: best-effort, never fail the bench
+    serving = eval_tput = None
+    for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
+        try:
+            serving = run_serving(batch, dtype)
+            break
+        except Exception as e:
+            print(f"serving bench (batch={batch}) failed: {e}", file=sys.stderr)
+    for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
+        try:
+            eval_tput = run_eval(batch, dtype)
+            break
+        except Exception as e:
+            print(f"eval bench (batch={batch}) failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "train_videos_per_sec_per_chip",
         "value": round(videos_per_sec, 2),
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 1),
+        "serving_videos_per_sec": round(serving, 2) if serving else None,
+        "eval_videos_per_sec": round(eval_tput, 2) if eval_tput else None,
     }))
 
 

@@ -92,6 +92,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--faithful_quirks", type=_bool, default=True)
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="size of the 'model' mesh axis (tensor parallelism)")
+    p.add_argument("--sync_batch_norm", type=_bool, default=False,
+                   help="synced (cross-shard) batch-norm moments under the "
+                   "shard_map train path: DBoF gradients match the GSPMD "
+                   "global-batch-statistics path exactly. Default: standard "
+                   "unsynced data-parallel BN.")
     p.add_argument("--use_shardmap_train", type=_bool, default=False,
                    help="data-parallel train step via shard_map (explicit "
                    "per-device grads + one psum) instead of the GSPMD jit "

@@ -227,13 +227,24 @@ def _bn_init(dim: int):
     }
 
 
-def _bn_apply(p, x, is_training: bool, momentum: float = 0.999, eps: float = 1e-3):
+def _bn_apply(p, x, is_training: bool, momentum: float = 0.999,
+              eps: float = 1e-3, axis_name=None):
     """slim.batch_norm semantics: batch stats in training (moving averages
     updated with `momentum` decay), moving stats at inference. Returns
-    (normalized, updated_bn_params)."""
+    (normalized, updated_bn_params).
+
+    With `axis_name` (synced cross-shard BN under shard_map), the batch
+    moments are pmean'd over the data axis so normalization — and hence
+    gradients and moving averages — match a single program over the
+    global batch exactly (equal shard sizes hold by construction)."""
     if is_training:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
+        if axis_name is not None:
+            mean = jax.lax.pmean(jnp.mean(x, axis=0), axis_name)
+            mean_sq = jax.lax.pmean(jnp.mean(jnp.square(x), axis=0), axis_name)
+            var = mean_sq - jnp.square(mean)
+        else:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
         new_p = dict(
             p,
             moving_mean=momentum * p["moving_mean"] + (1 - momentum) * mean,
@@ -294,6 +305,7 @@ class DbofModel:
               pooling_method: str = "max", classifier: str = "MoeModel",
               add_batch_norm: bool = True,
               is_training: bool = True, rng: Optional[jax.Array] = None,
+              bn_axis_name=None,
               **classifier_kwargs) -> Dict[str, Any]:
         if rng is not None:
             sampler = sample_random_frames if sample_random else sample_random_sequence
@@ -308,16 +320,21 @@ class DbofModel:
 
         updated = dict(params)
         if add_batch_norm:
-            x, updated["input_bn"] = _bn_apply(params["input_bn"], x, is_training)
+            x, updated["input_bn"] = _bn_apply(params["input_bn"], x, is_training,
+                                               axis_name=bn_axis_name)
         act = dense(params["cluster"], x)
         if add_batch_norm:
-            act, updated["cluster_bn"] = _bn_apply(params["cluster_bn"], act, is_training)
+            act, updated["cluster_bn"] = _bn_apply(params["cluster_bn"], act,
+                                                   is_training,
+                                                   axis_name=bn_axis_name)
         act = jnp.clip(act, 0.0, 6.0)  # relu6
         act = act.reshape(-1, max_frames, act.shape[-1])
         act = frame_pooling(act, pooling_method)
         act = dense(params["hidden1"], act)
         if add_batch_norm:
-            act, updated["hidden1_bn"] = _bn_apply(params["hidden1_bn"], act, is_training)
+            act, updated["hidden1_bn"] = _bn_apply(params["hidden1_bn"], act,
+                                                   is_training,
+                                                   axis_name=bn_axis_name)
         act = jnp.clip(act, 0.0, 6.0)
 
         cls = get_model(classifier)

@@ -140,7 +140,8 @@ def preprocess_batch(
 
 
 def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None,
-                    inference: bool = False, dropout_keep_prob=1.0, rng=None):
+                    inference: bool = False, dropout_keep_prob=1.0, rng=None,
+                    bn_axis_name: Optional[str] = None):
     model = get_model(cfg.model)
     return model.apply(
         params,
@@ -151,6 +152,7 @@ def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=No
         labels=labels,
         dropout_keep_prob=dropout_keep_prob,
         rng=rng,
+        bn_axis_name=bn_axis_name,
         **_model_apply_kwargs(cfg, inference=inference),
     )
 
@@ -158,7 +160,8 @@ def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=No
 def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_stud,
                     labels=None, inference: bool = False,
                     dropout_keep_prob=1.0, rng=None,
-                    pallas_override: Optional[bool] = None):
+                    pallas_override: Optional[bool] = None,
+                    bn_axis_name: Optional[str] = None):
     """`create_model_inference` (frame_level_models.py:269-338): same
     architecture on the subsampled frames with num_inputs_L1 chunks."""
     model = get_model(cfg.model)
@@ -171,6 +174,7 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
         labels=labels,
         dropout_keep_prob=dropout_keep_prob,
         rng=rng,
+        bn_axis_name=bn_axis_name,
         **_model_apply_kwargs(cfg, inference=inference,
                               pallas_override=pallas_override),
     )
@@ -264,12 +268,14 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
     on the summed grads, same as the single-program path). Reported
     scalars are pmean'd (psum for L_PRED) back to their global values.
 
-    Caveat: batch-norm models (DBoF) normalize with PER-SHARD batch
-    statistics under shard_map — standard unsynced data-parallel BN —
-    so their gradients and moving averages are not bit-equal to the
-    GSPMD path's global-batch statistics (the moving stats are pmean'd
-    so state stays replicated). The flagship LSTM models have no BN and
-    the two paths match exactly (tested)."""
+    Batch-norm models (DBoF): by default shard_map normalizes with
+    PER-SHARD batch statistics — standard unsynced data-parallel BN —
+    so gradients are not bit-equal to the GSPMD path's global-batch
+    statistics (the moving stats are pmean'd so state stays replicated).
+    With cfg.sync_batch_norm the batch moments are pmean'd inside the
+    forward (models/frame_level.py:_bn_apply) and the two paths' BN
+    math matches exactly. The flagship LSTM models have no BN and the
+    paths match either way (tested)."""
     schedule = exponential_decay(
         cfg.base_learning_rate,
         cfg.batch_size,
@@ -279,12 +285,18 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
     step_increment = 2 if cfg.faithful_quirks else 1
     label_loss_fn = resolve_label_loss(cfg)
 
+    # synced cross-shard BN (optional): DBoF normalizes with pmean'd
+    # global-batch moments so shard_map grads == GSPMD global-stat grads
+    bn_axis = axis_name if cfg.sync_batch_norm else None
+
     def loss_fn(params_t, params_s, model_input, model_input_s, num_frames,
                 nf_student, labels, keep_prob, rng_t, rng_s):
         out_t = forward_teacher(cfg, params_t, model_input, num_frames, labels,
-                                dropout_keep_prob=keep_prob, rng=rng_t)
+                                dropout_keep_prob=keep_prob, rng=rng_t,
+                                bn_axis_name=bn_axis)
         out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
-                                dropout_keep_prob=keep_prob, rng=rng_s)
+                                dropout_keep_prob=keep_prob, rng=rng_s,
+                                bn_axis_name=bn_axis)
         ls = _distill_losses(cfg, out_t, out_s, labels, label_loss_fn)
         total = ls["teacher_final_loss"] + ls["total_student_loss"]
         if axis_name is not None:
@@ -382,8 +394,11 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
     label_loss_fn = resolve_label_loss(cfg)
 
     def loss_fn(params_s, model_input_s, nf_student, labels, keep_prob, rng):
-        out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
-                                dropout_keep_prob=keep_prob, rng=rng)
+        out_s = forward_student(
+            cfg, params_s, model_input_s, nf_student, labels,
+            dropout_keep_prob=keep_prob, rng=rng,
+            bn_axis_name=axis_name if cfg.sync_batch_norm else None,
+        )
         label_loss = out_s.get("loss")
         if label_loss is None:
             label_loss = label_loss_fn(out_s["predictions"], labels)
@@ -437,6 +452,25 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
     return step
 
 
+def _faithful_eval_rngs(cfg: TrainConfig, num_frames):
+    """Eval-time frame-sampling rngs for DBoF under faithful mode.
+
+    The reference samples frames RANDOMLY at eval too (model_utils.py:
+    39-58 called unconditionally from frame_level_models.py:126-131);
+    the corrected default here is deterministic even sampling
+    (models/frame_level.py:sample_even_frames). With faithful_quirks,
+    eval gets a sampling rng — derived from the batch contents so every
+    batch draws differently under one jitted program (the reference's
+    stream is fresh per session and unreproducible either way).
+    """
+    if not (cfg.faithful_quirks and cfg.model == "DbofModel"):
+        return None, None
+    base = jax.random.fold_in(
+        jax.random.PRNGKey(cfg.seed), jnp.sum(num_frames)
+    )
+    return tuple(jax.random.split(base))
+
+
 def build_validate_step(cfg: TrainConfig, top_k: int = 20):
     """Student eval with the teacher present for L_REP
     (validate.py:109-189): both towers forward-only."""
@@ -446,10 +480,11 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
         model_input = preprocess_batch(cfg, features_u8, num_frames)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+        rng_t, rng_s = _faithful_eval_rngs(cfg, num_frames)
         out_t = forward_teacher(cfg, params_teacher, model_input, num_frames,
-                                labels, inference=True)
+                                labels, inference=True, rng=rng_t)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
-                                labels, inference=True)
+                                labels, inference=True, rng=rng_s)
         ls = _distill_losses(cfg, out_t, out_s, labels, label_loss_fn)
         # per-example CE for the epoch aggregator (validate.py:255-268)
         eps = 10e-6
@@ -487,8 +522,9 @@ def build_eval_step(cfg: TrainConfig, top_k: int = 20,
         model_input = preprocess_batch(cfg, features_u8, num_frames)
         model_input_s = uniform_subsample(model_input, cfg.every_n)
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+        _, rng_s = _faithful_eval_rngs(cfg, num_frames)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
-                                labels, inference=True,
+                                labels, inference=True, rng=rng_s,
                                 pallas_override=pallas_override)
         eps = 10e-6
         fl = labels.astype(jnp.float32)

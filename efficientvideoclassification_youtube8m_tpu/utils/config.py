@@ -87,6 +87,11 @@ class TrainConfig:
     lstm_custom_vjp: bool = False
     faithful_quirks: bool = True  # L_REP double-count + global_step += 2
     use_native_io: bool = True
+    # synced (cross-shard) batch-norm moments under the shard_map train
+    # path: one extra pmean per BN layer makes DBoF's gradients match the
+    # GSPMD global-batch-statistics path exactly. Off = standard unsynced
+    # data-parallel BN.
+    sync_batch_norm: bool = False
     # sharding: data-parallel size is inferred from the mesh at run time
 
     @property

