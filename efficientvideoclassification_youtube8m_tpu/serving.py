@@ -14,6 +14,13 @@ program.
 Serves the STUDENT (the paper's deliverable: ~10x fewer frames). Pass
 `tower="teacher"` against a distillation checkpoint to serve the teacher.
 Measured ~49,500 videos/s on one v5e chip at batch 512.
+
+Multi-device: pass `mesh=` (and optionally `sequence_parallel=True`).
+With sequence parallelism the CHUNK axis of each video is sharded over
+the mesh — each device scans its slice of every video's L1 blocks, one
+all_gather assembles the block states (parallel/sequence_parallel.py) —
+the low-batch/long-video serving layout where batch sharding would
+leave devices idle.
 """
 
 from __future__ import annotations
@@ -46,26 +53,114 @@ from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 
 class Predictor:
     def __init__(self, cfg: TrainConfig, params, tower: str = "student",
-                 serve_batch: int = 256):
+                 serve_batch: int = 256, mesh=None,
+                 sequence_parallel: bool = False):
         assert tower in ("student", "teacher")
         self.cfg = cfg
-        self.params = jax.device_put(params)
         self.tower = tower
         self.serve_batch = serve_batch
 
+        if sequence_parallel:
+            self._fwd = self._build_sequence_parallel_fwd(cfg, mesh, tower)
+            self.params = jax.device_put(params)
+        elif mesh is not None:
+            # data-parallel serving: replicated params, batch rows over
+            # "data". The per-device program is explicit (shard_map), so
+            # the Pallas fused LSTM stays eligible under multi-device DP.
+            from jax.sharding import PartitionSpec as P
+
+            use_pallas = (
+                cfg.use_pallas_inference
+                and cfg.compute_dtype == "bfloat16"
+                and jax.default_backend() == "tpu"
+            )
+
+            def local_fwd(params, features_u8, num_frames):
+                model_input = preprocess_batch(cfg, features_u8, num_frames)
+                if tower == "student":
+                    xs = uniform_subsample(model_input, cfg.every_n)
+                    nfs = student_num_frames(num_frames, cfg.every_n,
+                                             cfg.max_num_frames)
+                    out = forward_student(cfg, params, xs, nfs,
+                                          inference=True,
+                                          pallas_override=use_pallas)
+                else:
+                    out = forward_teacher(cfg, params, model_input,
+                                          num_frames, inference=True)
+                return out["predictions"]
+
+            mapped = jax.shard_map(
+                local_fwd, mesh=mesh,
+                in_specs=(P(), P("data", None, None), P("data")),
+                out_specs=P("data", None), check_vma=False,
+            )
+            self.params = jax.device_put(params)
+            self._fwd = jax.jit(mapped)
+        else:
+            self.params = jax.device_put(params)
+
+            def fwd(params, features_u8, num_frames):
+                model_input = preprocess_batch(cfg, features_u8, num_frames)
+                if tower == "student":
+                    xs = uniform_subsample(model_input, cfg.every_n)
+                    nfs = student_num_frames(num_frames, cfg.every_n,
+                                             cfg.max_num_frames)
+                    out = forward_student(cfg, params, xs, nfs,
+                                          inference=True)
+                else:
+                    out = forward_teacher(cfg, params, model_input,
+                                          num_frames, inference=True)
+                return out["predictions"]
+
+            self._fwd = jax.jit(fwd)
+
+    @staticmethod
+    def _build_sequence_parallel_fwd(cfg: TrainConfig, mesh, tower: str):
+        """Chunk-axis-sharded forward (parallel/sequence_parallel.py): the
+        long-video/low-batch layout. Flagship hierarchical model only."""
+        from efficientvideoclassification_youtube8m_tpu.models import get_model
+        from efficientvideoclassification_youtube8m_tpu.parallel import (
+            create_mesh,
+        )
+        from efficientvideoclassification_youtube8m_tpu.parallel.sequence_parallel import (
+            build_sequence_parallel_state_fn,
+        )
+
+        if cfg.model != "HierarchicalLstmModel":
+            raise ValueError(
+                "sequence-parallel serving requires HierarchicalLstmModel"
+            )
+        mesh = mesh if mesh is not None else create_mesh()
+        num_chunks = (cfg.num_inputs_L1 if tower == "student"
+                      else cfg.num_inputs_to_lstm)
+        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else jnp.float32)
+        state_fn = build_sequence_parallel_state_fn(
+            cfg, mesh, num_chunks=num_chunks, compute_dtype=compute_dtype
+        )
+        cls = get_model(cfg.video_level_classifier_model)
+        cls_kwargs = (
+            {"num_mixtures": cfg.moe_num_mixtures}
+            if cfg.video_level_classifier_model == "MoeModel"
+            else {"num_hidden_units": cfg.num_hidden_units}
+        )
+
+        @jax.jit
         def fwd(params, features_u8, num_frames):
             model_input = preprocess_batch(cfg, features_u8, num_frames)
             if tower == "student":
-                xs = uniform_subsample(model_input, cfg.every_n)
-                nfs = student_num_frames(num_frames, cfg.every_n,
-                                         cfg.max_num_frames)
-                out = forward_student(cfg, params, xs, nfs, inference=True)
-            else:
-                out = forward_teacher(cfg, params, model_input, num_frames,
-                                      inference=True)
+                model_input = uniform_subsample(model_input, cfg.every_n)
+                num_frames = student_num_frames(num_frames, cfg.every_n,
+                                                cfg.max_num_frames)
+            state = state_fn(params["rnn_l1"], params["rnn_l2"],
+                             model_input, num_frames)
+            out = cls.apply(
+                params["classifier"], state, vocab_size=cfg.num_classes,
+                compute_dtype=compute_dtype, **cls_kwargs,
+            )
             return out["predictions"]
 
-        self._fwd = jax.jit(fwd)
+        return fwd
 
     @classmethod
     def from_checkpoint(
@@ -74,6 +169,8 @@ class Predictor:
         cfg: Optional[TrainConfig] = None,
         tower: str = "student",
         serve_batch: int = 256,
+        mesh=None,
+        sequence_parallel: bool = False,
     ) -> "Predictor":
         """Load the latest checkpoint from a (finetune or distillation)
         train_dir. Finetune checkpoints carry only the student."""
@@ -98,7 +195,8 @@ class Predictor:
             state = restore_checkpoint(ckpt, distill_template)
             params = (state.params_student if tower == "student"
                       else state.params_teacher)
-        return cls(cfg, params, tower, serve_batch)
+        return cls(cfg, params, tower, serve_batch, mesh=mesh,
+                   sequence_parallel=sequence_parallel)
 
     def predict(self, features_u8: np.ndarray, num_frames: np.ndarray
                 ) -> np.ndarray:

@@ -145,8 +145,18 @@ def restore_checkpoint(path: str, target: Any) -> Any:
             path = path[: -len(".index")]
         return import_tf_checkpoint(path, target)
     if os.path.isdir(path):
+        # Restore straight onto the target's shardings: each leaf becomes
+        # a ShapeDtypeStruct carrying its sharding, so orbax reads every
+        # shard onto its own device (each host its own shards under
+        # multi-host) — no host round-trip of the full state.
+        def abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return x
+
         return _orbax_checkpointer().restore(
-            os.path.abspath(path), jax.device_get(target)
+            os.path.abspath(path), jax.tree.map(abstract, target)
         )
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(target, f.read())

@@ -426,6 +426,29 @@ def test_orbax_checkpoint_backend(tmp_path):
         restored.params_student, jax.device_get(state2.params_student))
     assert int(restored.global_step) == int(state2.global_step)
 
+    # restoring onto a SHARDED target places shards directly (no host
+    # round-trip): restored leaves carry the target's shardings
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        create_mesh,
+        place_state,
+    )
+
+    mesh = create_mesh(model=2)
+    sharded_template = place_state(init_distill_state(cfg, opt), mesh,
+                                   min_dim=16)
+    restored_sharded = restore_checkpoint(p2, sharded_template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        restored_sharded.params_student,
+        jax.device_get(state2.params_student))
+
+    def assert_same_sharding(a, t):
+        assert a.sharding.is_equivalent_to(t.sharding, a.ndim), (
+            a.sharding, t.sharding)
+
+    jax.tree.map(assert_same_sharding, restored_sharded, sharded_template)
+
 
 def test_dbof_finetune_updates_bn_moving_stats():
     """The finetune step consumes DBoF's `updated_params`: batch-norm
