@@ -55,6 +55,10 @@ def train(args) -> None:
             host.process_index, host.process_count,
             host.local_batch_size, cfg.batch_size,
         )
+    # the reference's task prefix on training log lines
+    # (train.py:528-533, task_as_string; golden log README.md:112-121)
+    task_str = ("/job:master/task:0" if host.is_master
+                else f"/job:worker/task:{host.process_index - 1}")
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     state = init_distill_state(cfg, optimizer)
 
@@ -102,7 +106,7 @@ def train(args) -> None:
     start_time = time.time()
     last_save = time.time()
     last_summary = time.time()
-    logger.info("Entering training loop.")
+    logger.info("%s: Entering training loop.", task_str)
 
     def write_graph_summaries(metrics, global_step_val):
         """The reference's in-graph summaries, emitted at the Supervisor's
@@ -140,8 +144,9 @@ def train(args) -> None:
         )
         info = train_step_metrics(topk_val, topk_idx, labels)
         logger.info(
-            "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| "
+            "%s: training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| "
             "Teacher_Loss: %s| L_REP: %s| L_PRED: %s| L_CE: %s",
+            task_str,
             global_step_val, info["hit_at_one"], info["perr"], info["gap"],
             round(float(metrics["teacher_label_loss"]), 2),
             round(float(metrics["student_loss_state"]), 2),

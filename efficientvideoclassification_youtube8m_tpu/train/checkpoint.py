@@ -51,9 +51,23 @@ def save_checkpoint(
         if os.path.exists(path):
             shutil.rmtree(path)
         ckptr = _orbax_checkpointer()
-        ckptr.save(path, jax.device_get(state))
+        # hand orbax the device arrays as-is: sharded jax.Arrays are
+        # written shard-by-shard (each host its own shards under
+        # multi-host) with no host gather of the full state
+        ckptr.save(path, state)
         ckptr.wait_until_finished()  # StandardCheckpointer saves async
     elif backend == "msgpack":
+        not_addressable = [
+            x for x in jax.tree.leaves(state)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable
+        ]
+        if not_addressable:
+            raise ValueError(
+                "msgpack checkpoints need the full state on this host; "
+                f"{len(not_addressable)} leaves are sharded across hosts "
+                "— use --checkpoint_format orbax for multi-host sharded "
+                "state"
+            )
         state = jax.device_get(state)
         path = os.path.join(train_dir, f"{_PREFIX}-{step}.msgpack")
         tmp = path + ".tmp"

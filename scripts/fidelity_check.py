@@ -9,11 +9,21 @@ sample), and prints: the flag dump, both towers' parameter lists, the
 per-step training metric lines, and the validation epoch summary — in
 the reference's formats.
 
+Besides running the five stages, the harness pins the few-step loss
+TRAJECTORY against the reference's golden log
+(/root/reference/README.md:116-122): the analytic step-2 init CE and
+the step-4 decrease shape (teacher CE falls ~6 nats, L_REP grows as the
+towers specialize, L_PRED stays ~0.01). Data ordering and init RNG
+differ from the reference's run, so these are band checks, not
+bit-equality; the step-2 value IS tight (it's analytic).
+
 Usage: python scripts/fidelity_check.py [--workdir DIR]
 """
 
 import argparse
+import logging
 import os
+import re
 import sys
 import tempfile
 
@@ -22,6 +32,84 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from efficientvideoclassification_youtube8m_tpu.data import (  # noqa: E402
     write_synthetic_frame_shard,
 )
+
+# Reference golden log, README.md:116-122 (run_train.sh on the 10-record
+# sample): the two logged steps of the acceptance run.
+GOLDEN = {
+    2: {"teacher": 1914.09, "l_rep": 1.16, "l_pred": 0.01, "l_ce": 1914.1},
+    4: {"teacher": 1908.12, "l_rep": 1.52, "l_pred": 0.01, "l_ce": 1913.41},
+}
+
+_STEP_RE = re.compile(
+    r"training step (\d+)\|.*Teacher_Loss: ([\d.]+)\| "
+    r"L_REP: ([\d.]+)\| L_PRED: ([\d.]+)\| L_CE: ([\d.]+)"
+)
+
+
+class _StepCapture(logging.Handler):
+    """Collects the trainer's per-step metric lines."""
+
+    def __init__(self):
+        super().__init__()
+        self.steps = {}
+
+    def emit(self, record):
+        m = _STEP_RE.search(record.getMessage())
+        if m:
+            self.steps[int(m.group(1))] = {
+                "teacher": float(m.group(2)),
+                "l_rep": float(m.group(3)),
+                "l_pred": float(m.group(4)),
+                "l_ce": float(m.group(5)),
+            }
+
+
+def check_trajectory(steps) -> bool:
+    """Band checks of the loss-decrease SHAPE vs the golden log."""
+    ok = True
+
+    def expect(cond, msg):
+        nonlocal ok
+        status = "ok" if cond else "FAIL"
+        print(f"  [{status}] {msg}")
+        ok = ok and cond
+
+    s2, s4 = steps.get(2), steps.get(4)
+    expect(s2 is not None and s4 is not None,
+           f"steps 2 and 4 logged (got {sorted(steps)})")
+    if not (s2 and s4):
+        return False
+    print(f"  step 2: {s2}  (golden {GOLDEN[2]})")
+    print(f"  step 4: {s4}  (golden {GOLDEN[4]})")
+    # step-2 init CE is analytic (label base rates at sigmoid init):
+    # tight band around the golden 1914.09
+    expect(abs(s2["teacher"] - GOLDEN[2]["teacher"]) < 2.0,
+           f"step-2 Teacher_Loss {s2['teacher']:.2f} within 2.0 of "
+           f"{GOLDEN[2]['teacher']}")
+    expect(abs(s2["l_ce"] - GOLDEN[2]["l_ce"]) < 2.0,
+           f"step-2 L_CE {s2['l_ce']:.2f} within 2.0 of {GOLDEN[2]['l_ce']}")
+    # step-4 shape: teacher CE falls (golden: -5.97), student CE falls
+    # less (golden: -0.69), L_REP grows as the towers specialize
+    # (golden: 1.16 -> 1.52), L_PRED stays near zero (golden: 0.01)
+    drop = s2["teacher"] - s4["teacher"]
+    expect(1.0 < drop < 20.0,
+           f"step-4 teacher CE decrease {drop:.2f} in (1, 20) "
+           f"(golden {GOLDEN[2]['teacher'] - GOLDEN[4]['teacher']:.2f})")
+    expect(s4["l_ce"] < s2["l_ce"],
+           f"step-4 L_CE {s4['l_ce']:.2f} < step-2 {s2['l_ce']:.2f}")
+    # L_REP's init LEVEL tracks the data distribution (golden 1.16 on
+    # real YT8M features; ~0.08 on this synthetic sample) — only the
+    # smallness and the growth shape below are data-independent
+    expect(0.0 < s2["l_rep"] < 3.0,
+           f"step-2 L_REP {s2['l_rep']:.2f} small at init, in (0, 3) "
+           f"(golden {GOLDEN[2]['l_rep']} on real features)")
+    expect(s4["l_rep"] > s2["l_rep"],
+           f"L_REP grows {s2['l_rep']:.2f} -> {s4['l_rep']:.2f} "
+           f"(golden {GOLDEN[2]['l_rep']} -> {GOLDEN[4]['l_rep']})")
+    expect(s2["l_pred"] < 0.2 and s4["l_pred"] < 0.2,
+           f"L_PRED stays near zero ({s2['l_pred']}, {s4['l_pred']}; "
+           f"golden 0.01)")
+    return ok
 
 
 def main():
@@ -67,11 +155,16 @@ def main():
     )
 
     print("=== train (teacher+student) ===")
+    capture = _StepCapture()
+    logging.getLogger("train").addHandler(capture)
     train_cli.main(flags + [
         "--train_dir", train_dir,
         "--train_data_pattern", os.path.join(data_dir, "train*.tfrecord"),
         "--start_new_model", "true",
     ])
+    logging.getLogger("train").removeHandler(capture)
+    print("=== trajectory vs reference golden log (README.md:116-122) ===")
+    trajectory_ok = check_trajectory(capture.steps)
     print("=== validate ===")
     validate_cli.main(flags + [
         "--train_dir", train_dir,
@@ -94,6 +187,10 @@ def main():
         "--run_once", "true",
     ])
     print(f"fidelity pipeline completed under {workdir}")
+    if not trajectory_ok:
+        print("TRAJECTORY CHECK FAILED vs the reference golden log")
+        sys.exit(1)
+    print("trajectory check vs the reference golden log: OK")
 
 
 if __name__ == "__main__":

@@ -126,3 +126,40 @@ def test_init_teacher_loss_matches_golden_log():
     ce = float(L.get_loss("CrossEntropyLoss")(out["predictions"],
                                               jnp.asarray(labels)))
     assert 1880 < ce < 1950, ce
+
+
+def test_trajectory_harness_bands():
+    """scripts/fidelity_check.py pins the few-step loss trajectory
+    against the reference golden log (README.md:116-122). The capture
+    regex parses the trainer's log-line format, and the band checks
+    accept a golden-shaped trajectory while rejecting non-decreasing /
+    diverging ones (VERDICT r1 missing #4)."""
+    import importlib.util
+    import logging
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "fidelity_check",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "fidelity_check.py"),
+    )
+    fc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fc)
+
+    cap = fc._StepCapture()
+    fmt = ("training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| "
+           "Teacher_Loss: %s| L_REP: %s| L_PRED: %s| L_CE: %s")
+    for step, t, r, p, c in [(2, 1914.13, 1.16, 0.01, 1914.1),
+                             (4, 1908.5, 1.49, 0.01, 1913.3)]:
+        cap.emit(logging.LogRecord(
+            "train", 20, "", 0, fmt,
+            (step, 0.0, 0.0, 0.0, t, r, p, c), None))
+    assert set(cap.steps) == {2, 4}
+    assert cap.steps[2]["teacher"] == 1914.13
+    assert fc.check_trajectory(cap.steps)
+
+    # a diverging trajectory fails the shape check
+    bad = dict(cap.steps)
+    bad[4] = {"teacher": 1920.0, "l_rep": 0.9, "l_pred": 0.4,
+              "l_ce": 1916.0}
+    assert not fc.check_trajectory(bad)

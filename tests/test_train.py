@@ -449,6 +449,17 @@ def test_orbax_checkpoint_backend(tmp_path):
 
     jax.tree.map(assert_same_sharding, restored_sharded, sharded_template)
 
+    # ... and SAVING a sharded state writes shard-by-shard (no host
+    # gather) and round-trips through the sharded restore
+    sharded_state = restore_checkpoint(p2, sharded_template)
+    p3 = save_checkpoint(train_dir, sharded_state, 6, backend="orbax")
+    back = restore_checkpoint(p3, sharded_template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        back.params_teacher, jax.device_get(state2.params_teacher))
+    jax.tree.map(assert_same_sharding, back, sharded_template)
+
 
 def test_dbof_finetune_updates_bn_moving_stats():
     """The finetune step consumes DBoF's `updated_params`: batch-norm
