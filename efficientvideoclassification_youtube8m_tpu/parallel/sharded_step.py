@@ -36,6 +36,44 @@ def _batch_shardings(mesh: Mesh):
     return fs, ls, ns
 
 
+_DISTILL_SCALARS = (
+    "teacher_label_loss", "teacher_final_loss", "teacher_reg_loss",
+    "student_loss_state", "pred_loss", "student_label_loss",
+    "student_reg_loss", "total_student_loss",
+)
+
+_FINETUNE_SCALARS = ("student_label_loss", "student_reg_loss")
+
+
+def _train_metric_shardings(mesh: Mesh, scalar_keys):
+    """Pin the metric outputs: scalars replicated, top-k row-sharded over
+    the data axis. Without this GSPMD may choose layouts where a host's
+    addressable shards are COLUMN slices — `distributed.local_rows`
+    depends on outputs being row-sharded under multi-host."""
+    rep = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P(DATA_AXIS, None))
+    out = {k: rep for k in scalar_keys}
+    out.update(learning_rate=rep, global_step=rep,
+               topk_val=rows, topk_idx=rows)
+    return out
+
+
+def _eval_metric_shardings(mesh: Mesh, with_losses: bool = False):
+    rep = NamedSharding(mesh, P())
+    rows2 = NamedSharding(mesh, P(DATA_AXIS, None))
+    rows1 = NamedSharding(mesh, P(DATA_AXIS))
+    out = {
+        "predictions": rows2,
+        "per_example_loss": rows1,
+        "topk_val": rows2,
+        "topk_idx": rows2,
+        "perr_precision": rows1,
+    }
+    if with_losses:
+        out.update({k: rep for k in _DISTILL_SCALARS})
+    return out
+
+
 def state_sharding(state: Any, mesh: Mesh, min_dim: int = 4200):
     model_size = mesh.shape.get("model", 1)
     return to_named(shard_state_specs(state, model_size, min_dim), mesh)
@@ -61,7 +99,7 @@ def build_sharded_distill_step(
     return jax.jit(
         step,
         in_shardings=(st_shard, fs, ls, ns),
-        out_shardings=(st_shard, None),
+        out_shardings=(st_shard, _train_metric_shardings(mesh, _DISTILL_SCALARS)),
         donate_argnums=(0,),
     )
 
@@ -80,7 +118,7 @@ def build_sharded_finetune_step(
     return jax.jit(
         step,
         in_shardings=(st_shard, fs, ls, ns),
-        out_shardings=(st_shard, None),
+        out_shardings=(st_shard, _train_metric_shardings(mesh, _FINETUNE_SCALARS)),
         donate_argnums=(0,),
     )
 
@@ -102,7 +140,8 @@ def build_sharded_validate_step(
         shard_state_specs(params_student_template, model_size, min_dim), mesh
     )
     fs, ls, ns = _batch_shardings(mesh)
-    return jax.jit(step, in_shardings=(pt_shard, ps_shard, fs, ls, ns))
+    return jax.jit(step, in_shardings=(pt_shard, ps_shard, fs, ls, ns),
+                   out_shardings=_eval_metric_shardings(mesh, with_losses=True))
 
 
 def build_sharded_eval_step(
@@ -118,14 +157,8 @@ def build_sharded_eval_step(
         shard_state_specs(params_student_template, model_size, min_dim), mesh
     )
     fs, ls, ns = _batch_shardings(mesh)
-    return jax.jit(step, in_shardings=(ps_shard, fs, ls, ns))
-
-
-_DISTILL_SCALARS = (
-    "teacher_label_loss", "teacher_final_loss", "teacher_reg_loss",
-    "student_loss_state", "pred_loss", "student_label_loss",
-    "student_reg_loss", "total_student_loss",
-)
+    return jax.jit(step, in_shardings=(ps_shard, fs, ls, ns),
+                   out_shardings=_eval_metric_shardings(mesh))
 
 
 def _shardmap_train(step, mesh, metric_scalars):
