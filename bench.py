@@ -130,6 +130,10 @@ def run_serving(batch_size: int, compute_dtype: str) -> float:
     )
     from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 
+    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+        host_subsample,
+    )
+
     cfg = TrainConfig(batch_size=batch_size, compute_dtype=compute_dtype)
     opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     state = init_distill_state(cfg, opt)
@@ -137,7 +141,10 @@ def run_serving(batch_size: int, compute_dtype: str) -> float:
 
     rng = np.random.default_rng(1)
     feats, _, nf = _bench_batch(cfg, rng)
-    f, n = jnp.asarray(feats), jnp.asarray(nf)
+    # the Predictor strides student frames on the host (predict());
+    # feed its jitted forward the same pre-strided device-resident input
+    f = jnp.asarray(host_subsample(feats, cfg.every_n))
+    n = jnp.asarray(nf)
 
     holder = {}
 

@@ -52,11 +52,26 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
     )
+    def subsample_stream(batches):
+        """Stride the uint8 frames on the host so only 1/every_n of the
+        bytes cross the host->device edge (the student never reads the
+        dropped frames; the step is built with host_subsampled=True)."""
+        import dataclasses as _dc
+
+        from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+            host_subsample,
+        )
+
+        for b in batches:
+            yield _dc.replace(
+                b, features=host_subsample(b.features, cfg.every_n)
+            )
+
     examples_processed = 0
     start = time.time()
     for (f, l, n), (labels, pad) in device_prefetch(
-            distributed.sync_host_streams(loader, "eval"), mesh,
-            host_keep=lambda b: (b.labels, b.pad)):
+            subsample_stream(distributed.sync_host_streams(loader, "eval")),
+            mesh, host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(params_student, f, l, n)
         rows, _ = distributed.gather_eval_rows(
             {
@@ -103,7 +118,8 @@ def evaluate(args):
     )
     mesh = create_mesh(model=args.model_parallelism)
     step_fn = build_sharded_eval_step(
-        cfg, mesh, template.params_student, top_k=args.top_k
+        cfg, mesh, template.params_student, top_k=args.top_k,
+        host_subsampled=True,  # the eval loop strides frames on the host
     )
     writer = summary_lib.for_master(
         os.path.join(cfg.train_dir, "eval"), host.is_master

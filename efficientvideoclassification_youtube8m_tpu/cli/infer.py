@@ -79,7 +79,9 @@ def inference(args):
         params = rescale_bias_param(params, args.tensor_name, args.alpha_bias)
 
     mesh = create_mesh(model=args.model_parallelism)
-    step_fn = build_sharded_eval_step(cfg, mesh, params, top_k=args.top_k)
+    # frames are strided on the host below: 1/every_n the H2D bytes
+    step_fn = build_sharded_eval_step(cfg, mesh, params, top_k=args.top_k,
+                                      host_subsampled=True)
 
     loader = FrameDataLoader(
         args.input_data_pattern,
@@ -98,10 +100,15 @@ def inference(args):
     def rows():
         num_examples_processed = 0
         start_time = time.time()
+        from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+            host_subsample,
+        )
+
         dummy_labels = np.zeros((cfg.batch_size, cfg.num_classes), bool)
         for batch in loader:
-            f, l, n = shard_batch(mesh, batch.features, dummy_labels,
-                                  batch.num_frames)
+            f, l, n = shard_batch(mesh,
+                                  host_subsample(batch.features, cfg.every_n),
+                                  dummy_labels, batch.num_frames)
             out = step_fn(params, f, l, n)
             valid = len(batch.video_ids) - batch.pad
             preds = np.asarray(out["predictions"])[:valid]

@@ -57,6 +57,17 @@ def uniform_subsample(x: jax.Array, every_n: int, axis: int = 1) -> jax.Array:
     )
 
 
+def host_subsample(features_u8, every_n: int):
+    """HOST-side every-n frame stride on the raw uint8 batch — applied
+    before the device transfer so student-only paths (eval / inference /
+    serving) move 1/every_n the bytes over PCIe/relay. Semantically the
+    same strided slice as `uniform_subsample`; contiguity matters for
+    the transfer."""
+    import numpy as np
+
+    return np.ascontiguousarray(np.asarray(features_u8)[:, ::every_n])
+
+
 def student_num_frames(num_frames: jax.Array, every_n: int, max_frames: int = 300) -> jax.Array:
     """`num_frames/300 * (300//every_n)` cast to int — the reference's
     approximation of how many frames survive subsampling

@@ -150,8 +150,9 @@ def build_sharded_eval_step(
     params_student_template: Any,
     top_k: int = 20,
     min_dim: int = 4200,
+    host_subsampled: bool = False,
 ):
-    step = build_eval_step(cfg, top_k)
+    step = build_eval_step(cfg, top_k, host_subsampled=host_subsampled)
     model_size = mesh.shape.get("model", 1)
     ps_shard = to_named(
         shard_state_specs(params_student_template, model_size, min_dim), mesh

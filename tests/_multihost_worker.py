@@ -126,4 +126,73 @@ assert len(eval_batches) == 3, len(eval_batches)  # dry host pads
 pads = [b.pad for b in eval_batches]
 assert pads == ([0, 0, 0] if PID == 0 else [0, 0, 4]), pads
 
+# --- REAL distillation train step over the 2-host mesh ------------------
+from efficientvideoclassification_youtube8m_tpu.parallel import (  # noqa: E402
+    build_sharded_distill_step,
+    place_state,
+)
+from efficientvideoclassification_youtube8m_tpu.train import (  # noqa: E402
+    init_distill_state,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from efficientvideoclassification_youtube8m_tpu.utils.config import (  # noqa: E402
+    TrainConfig,
+)
+
+cfg = TrainConfig(
+    num_classes=12, batch_size=8, lstm_cells=4, lstm_layers=2,
+    max_num_frames=12, num_inputs_to_lstm=3, num_inputs_L1=3, every_n=2,
+    feature_names="rgb, audio", feature_sizes="4, 2", scan_unroll=1,
+    compute_dtype="float32",
+)
+opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+state_host = init_distill_state(cfg, opt)  # same seed -> same init everywhere
+state = place_state(state_host, mesh)
+step = build_sharded_distill_step(cfg, opt, mesh, state_host, top_k=3)
+
+hc = distributed.host_context(cfg.batch_size)
+rng = np.random.default_rng(3)
+all_feats = rng.integers(
+    0, 256, size=(8, cfg.max_num_frames, cfg.total_feature_size),
+    dtype=np.uint8,
+)
+all_labels = np.zeros((8, cfg.num_classes), bool)
+all_labels[:, :2] = True
+all_nf = rng.integers(3, cfg.max_num_frames + 1, size=8).astype(np.int32)
+lo = PID * hc.local_batch_size
+hi = lo + hc.local_batch_size
+tf_, tl, tn = shard_batch(
+    mesh, all_feats[lo:hi], all_labels[lo:hi], all_nf[lo:hi]
+)
+state, metrics = step(state, tf_, tl, tn)
+assert int(metrics["global_step"]) == 2
+loss = float(metrics["teacher_label_loss"])
+assert np.isfinite(loss)
+# the replicated loss is identical on both hosts
+from jax.experimental import multihost_utils  # noqa: E402
+
+losses = np.asarray(
+    multihost_utils.process_allgather(np.asarray([loss], np.float32))
+).reshape(-1)
+assert losses.shape[0] == 2 and abs(losses[0] - losses[1]) == 0.0, losses
+
+# per-host train-log rows come back through local_rows
+topk_mine = distributed.local_rows(metrics["topk_val"])
+assert topk_mine.shape == (hc.local_batch_size, 3)
+
+# --- multi-host orbax checkpoint: every process writes its shards -------
+ckpt_dir = os.environ["MULTIHOST_CKPT_DIR"]
+path = save_checkpoint(ckpt_dir, state, 2, backend="orbax")
+multihost_utils.sync_global_devices("ckpt_written")
+restored = restore_checkpoint(path, state)
+np.testing.assert_array_equal(
+    np.asarray(distributed.local_rows(
+        restored.params_teacher["classifier"]["experts"]["b"])),
+    np.asarray(distributed.local_rows(
+        state.params_teacher["classifier"]["experts"]["b"])),
+)
+assert int(np.asarray(restored.global_step)) == 2
+
 print("MULTIHOST_OK")

@@ -140,6 +140,7 @@ def test_two_process_distributed_run(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MULTIHOST_CKPT_DIR"] = str(tmp_path / "ckpt")
 
     worker = os.path.join(REPO, "tests", "_multihost_worker.py")
     procs = [

@@ -560,3 +560,29 @@ def test_dbof_no_batch_norm_variant():
     feats, labels, nf = _tiny_batch(cfg, seed=11)
     state, metrics = step(state, feats, labels, nf)
     assert np.isfinite(float(metrics["student_label_loss"]))
+
+
+def test_host_subsampled_eval_step_parity():
+    """build_eval_step(host_subsampled=True) on host-strided uint8 equals
+    the in-graph-subsampled step on the full frames — the H2D-saving
+    layout used by cli/eval, cli/infer, and the serving Predictor."""
+    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+        host_subsample,
+    )
+
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    feats, labels, nf = _tiny_batch(cfg, seed=21)
+
+    full = jax.jit(build_eval_step(cfg, top_k=5))(
+        state.params_student, feats, labels, nf)
+    sub = jax.jit(build_eval_step(cfg, top_k=5, host_subsampled=True))(
+        state.params_student,
+        jnp.asarray(host_subsample(np.asarray(feats), cfg.every_n)),
+        labels, nf)
+    assert sub["predictions"].shape == full["predictions"].shape
+    for k in ("predictions", "per_example_loss", "perr_precision",
+              "topk_val", "topk_idx"):
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(sub[k]))
