@@ -73,18 +73,7 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
             subsample_stream(distributed.sync_host_streams(loader, "eval")),
             mesh, host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(params_student, f, l, n)
-        rows, _ = distributed.gather_eval_rows(
-            {
-                "topk_val": distributed.local_rows(out["topk_val"]),
-                "topk_idx": distributed.local_rows(out["topk_idx"]),
-                "per_example_loss": distributed.local_rows(
-                    out["per_example_loss"]),
-                "perr_precision": distributed.local_rows(
-                    out["perr_precision"]),
-                "labels": labels,
-            },
-            pad,
-        )
+        rows = distributed.gather_step_outputs(out, labels, pad)
         info = evl_metrics.accumulate_topk(
             rows["topk_val"], rows["topk_idx"], rows["labels"],
             rows["per_example_loss"], perr_precision=rows["perr_precision"],
@@ -127,7 +116,10 @@ def evaluate(args):
 
     last_checkpoint = None
     while True:
-        ckpt = latest_checkpoint(cfg.train_dir)
+        # master-elected so every host evaluates the SAME checkpoint
+        ckpt = distributed.broadcast_str(
+            latest_checkpoint(cfg.train_dir) if host.is_master else None
+        )
         if ckpt is None:
             logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
         elif ckpt != last_checkpoint:

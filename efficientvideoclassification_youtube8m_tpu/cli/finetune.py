@@ -77,13 +77,15 @@ def finetune(args):
     logger.info("%s", flags_lib.param_names(state.params_student, "model_student"))
 
     mesh = create_mesh(model=args.model_parallelism)
+    # frames are strided on the host below: 1/every_n the H2D bytes
     if args.use_shardmap_train:
         step_fn = build_shardmap_finetune_step(
-            cfg, optimizer, mesh, top_k=args.top_k
+            cfg, optimizer, mesh, top_k=args.top_k, host_subsampled=True
         )
     else:
         step_fn = build_sharded_finetune_step(
-            cfg, optimizer, mesh, state, top_k=args.top_k
+            cfg, optimizer, mesh, state, top_k=args.top_k,
+            host_subsampled=True
         )
     state = place_state(state, mesh)
 
@@ -144,32 +146,50 @@ def finetune(args):
 
     # one-step-lagged logging: the metric fetch overlaps device compute;
     # device_prefetch overlaps the next batch's H2D with this step
+    def subsample_stream(batches):
+        """Host-side every-n stride: the student never reads the dropped
+        frames, so only 1/every_n of the uint8 bytes cross H2D (the step
+        is built with host_subsampled=True)."""
+        import dataclasses as _dc
+
+        from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+            host_subsample,
+        )
+
+        for b in batches:
+            yield _dc.replace(
+                b, features=host_subsample(b.features, cfg.every_n)
+            )
+
     pending = None
     for (f, l, n), host_labels in device_prefetch(
-            distributed.sync_host_streams(loader, "train"), mesh):
+            subsample_stream(distributed.sync_host_streams(loader, "train")),
+            mesh):
         batch_start_time = time.time()
         state, metrics = step_fn(state, f, l, n)
         if pending is not None:
             log_step(pending[0], pending[1], batch_start_time - pending[2])
-            if time.time() - last_summary > args.save_summaries_secs:
+            # master-decided cadences (collective summary/save steps)
+            if distributed.broadcast_flag(
+                    time.time() - last_summary > args.save_summaries_secs):
                 write_graph_summaries(pending[0], int(pending[0]["global_step"]))
                 last_summary = time.time()
         pending = (metrics, host_labels, batch_start_time)
-        if time.time() - last_save > args.save_model_secs:
-            # snapshot named with the step stored IN the saved state;
-            # master-only under multi-host (reference is_chief)
-            if host.is_master:
-                save_checkpoint(cfg.train_dir, state,
-                                int(jax.device_get(state.global_step)),
-                                backend=args.checkpoint_format)
+        if distributed.broadcast_flag(
+                time.time() - last_save > args.save_model_secs):
+            # snapshot named with the step stored IN the saved state.
+            # EVERY process calls save_checkpoint (orbax saves are
+            # collective); it writes master-only where needed.
+            save_checkpoint(cfg.train_dir, state,
+                            int(jax.device_get(state.global_step)),
+                            backend=args.checkpoint_format)
             last_save = time.time()
     if pending is not None:
         log_step(pending[0], pending[1], time.time() - pending[2])
     logger.info("Done training -- epoch limit reached.")
-    if host.is_master:
-        save_checkpoint(cfg.train_dir, state,
-                        int(jax.device_get(state.global_step)),
-                        backend=args.checkpoint_format)
+    save_checkpoint(cfg.train_dir, state,
+                    int(jax.device_get(state.global_step)),
+                    backend=args.checkpoint_format)
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

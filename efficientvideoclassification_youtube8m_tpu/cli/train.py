@@ -176,29 +176,32 @@ def train(args) -> None:
             if pending is not None:
                 log_step(pending[0], pending[1],
                          batch_start_time - pending[2])
-                if time.time() - last_summary > args.save_summaries_secs:
+                # master decides cadences; broadcast keeps every host in
+                # the same (collective) summary/save step
+                if distributed.broadcast_flag(
+                        time.time() - last_summary > args.save_summaries_secs):
                     write_graph_summaries(pending[0], int(pending[0]["global_step"]))
                     last_summary = time.time()
             pending = (metrics, host_labels, batch_start_time)
-            if time.time() - last_save > args.save_model_secs:
+            if distributed.broadcast_flag(
+                    time.time() - last_save > args.save_model_secs):
                 # name the snapshot with the step stored IN the saved
                 # state (the reference's Saver uses the graph's own
                 # global_step, train.py:502) — not the lagged log step.
-                # Only the master writes (reference is_chief, train.py:444).
-                if host.is_master:
-                    save_checkpoint(cfg.train_dir, state,
-                                    int(jax.device_get(state.global_step)),
-                                    backend=args.checkpoint_format)
+                # EVERY process calls save_checkpoint (the orbax backend
+                # is a collective); it writes master-only where needed.
+                save_checkpoint(cfg.train_dir, state,
+                                int(jax.device_get(state.global_step)),
+                                backend=args.checkpoint_format)
                 last_save = time.time()
         if pending is not None:
             log_step(pending[0], pending[1], time.time() - pending[2])
     except KeyboardInterrupt:
         logger.info("Interrupted; saving checkpoint.")
     logger.info("Done training -- epoch limit reached.")
-    if host.is_master:
-        save_checkpoint(cfg.train_dir, state,
-                        int(jax.device_get(state.global_step)),
-                        backend=args.checkpoint_format)
+    save_checkpoint(cfg.train_dir, state,
+                    int(jax.device_get(state.global_step)),
+                    backend=args.checkpoint_format)
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

@@ -59,20 +59,9 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
             distributed.sync_host_streams(loader, "eval"), mesh,
             host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(state.params_teacher, state.params_student, f, l, n)
-        # local rows of the global outputs + this host's pad, gathered
-        # into the global valid-row stream (passthrough single-process)
-        rows, _ = distributed.gather_eval_rows(
-            {
-                "topk_val": distributed.local_rows(out["topk_val"]),
-                "topk_idx": distributed.local_rows(out["topk_idx"]),
-                "per_example_loss": distributed.local_rows(
-                    out["per_example_loss"]),
-                "perr_precision": distributed.local_rows(
-                    out["perr_precision"]),
-                "labels": labels,
-            },
-            pad,
-        )
+        # this host's rows of the global outputs, gathered into the
+        # global valid-row stream (passthrough single-process)
+        rows = distributed.gather_step_outputs(out, labels, pad)
         info = evl_metrics.accumulate_topk(
             rows["topk_val"], rows["topk_idx"], rows["labels"],
             rows["per_example_loss"], perr_precision=rows["perr_precision"],
@@ -123,7 +112,12 @@ def evaluate(args):
 
     last_checkpoint = None
     while True:
-        ckpt = latest_checkpoint(cfg.train_dir)
+        # master-elected: every host evaluates the SAME checkpoint (the
+        # per-batch collectives inside evaluation_loop would desync if
+        # hosts raced their own latest_checkpoint polls)
+        ckpt = distributed.broadcast_str(
+            latest_checkpoint(cfg.train_dir) if host.is_master else None
+        )
         if ckpt is None:
             logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
         elif ckpt != last_checkpoint:

@@ -71,7 +71,17 @@ class FrameDataLoader:
         self.files = sorted(globlib.glob(data_pattern))
         if not self.files:
             raise IOError(f"Unable to find training files. data_pattern='{data_pattern}'")
+        total_files = len(self.files)
         self.files = self.files[shard_index::num_shards]
+        if not self.files:
+            # an empty per-host shard would silently stop EVERY host at
+            # step 0 (sync_host_streams' cross-host drop_remainder) —
+            # fail loudly instead
+            raise IOError(
+                f"host shard {shard_index}/{num_shards} is empty: only "
+                f"{total_files} input files match '{data_pattern}' — need "
+                f"at least {num_shards} files (one per process)"
+            )
         if bagging:
             # bootstrap-resample the shard list with replacement for
             # ensemble-member diversity (train.py:160-163); the reference

@@ -210,6 +210,50 @@ def sync_host_streams(loader, mode: str = "train"):
         yield batch
 
 
+def broadcast_flag(value: bool) -> bool:
+    """Broadcast the MASTER's boolean decision to every host.
+
+    Wall-clock triggers (save_model_secs / save_summaries_secs) must
+    fire on every host in the same step: the orbax save is a collective
+    and the on-device histogram reductions run global programs — a host
+    entering alone deadlocks. Single-process: a passthrough.
+    """
+    if jax.process_count() == 1:
+        return value
+
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.broadcast_one_to_all(
+        np.asarray([1 if value else 0], np.int32)
+    )
+    return bool(np.asarray(out)[0])
+
+
+def broadcast_str(value: Optional[str], max_len: int = 1024) -> Optional[str]:
+    """Broadcast a (possibly None) string from the master to every host.
+
+    The eval/validate watch loops poll `latest_checkpoint` — under
+    multi-host each host could see a DIFFERENT newest checkpoint (or a
+    different number of them), desyncing the per-batch collectives that
+    follow. The master's answer is authoritative; everyone else takes it.
+    Single-process: a passthrough.
+    """
+    if jax.process_count() == 1:
+        return value
+
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros((max_len,), np.uint8)
+    if jax.process_index() == 0 and value:
+        raw = value.encode("utf-8")
+        if len(raw) > max_len:
+            raise ValueError(f"path longer than {max_len} bytes: {value!r}")
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    raw = bytes(out[out != 0])
+    return raw.decode("utf-8") if raw else None
+
+
 def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.ndarray], int]:
     """Assemble the GLOBAL (all-host) eval rows for metric accumulation.
 
@@ -218,6 +262,8 @@ def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.nda
     result concatenates every host's VALID rows in process order, so the
     epoch metrics — GAP's global top-k heap in particular — see the same
     stream a single-process run would. Single-process: a passthrough.
+    One collective per batch: the pad count rides in the same allgather
+    pytree as the row arrays.
     """
     if jax.process_count() == 1:
         arrays = {k: np.asarray(v) for k, v in arrays.items()}
@@ -228,13 +274,11 @@ def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.nda
     from jax.experimental import multihost_utils
 
     local = {k: np.asarray(v) for k, v in arrays.items()}
-    pads = np.asarray(
-        multihost_utils.process_allgather(np.asarray([pad], np.int32))
-    ).reshape(-1)
-    gathered = {
-        k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
-        for k, v in local.items()
-    }
+    gathered = multihost_utils.process_allgather(
+        dict(local, __pad__=np.asarray([pad], np.int32)), tiled=True
+    )
+    pads = np.asarray(gathered.pop("__pad__")).reshape(-1)
+    gathered = {k: np.asarray(v) for k, v in gathered.items()}
     block = next(iter(local.values())).shape[0]
     keep = np.concatenate(
         [
@@ -243,3 +287,20 @@ def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.nda
         ]
     )
     return {k: v[keep] for k, v in gathered.items()}, int(pads.sum())
+
+
+def gather_step_outputs(out: Dict[str, Any], labels, pad: int) -> Dict[str, np.ndarray]:
+    """The eval CLIs' shared per-batch assembly: this host's rows of the
+    step outputs + its labels, gathered into the global valid-row stream
+    (cli/validate.py and cli/eval.py accumulate from the result)."""
+    rows, _ = gather_eval_rows(
+        {
+            "topk_val": local_rows(out["topk_val"]),
+            "topk_idx": local_rows(out["topk_idx"]),
+            "per_example_loss": local_rows(out["per_example_loss"]),
+            "perr_precision": local_rows(out["perr_precision"]),
+            "labels": labels,
+        },
+        pad,
+    )
+    return rows

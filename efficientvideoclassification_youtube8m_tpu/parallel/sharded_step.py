@@ -111,8 +111,10 @@ def build_sharded_finetune_step(
     state_template: Any,
     top_k: int = 20,
     min_dim: int = 4200,
+    host_subsampled: bool = False,
 ):
-    step = build_finetune_step(cfg, optimizer, top_k)
+    step = build_finetune_step(cfg, optimizer, top_k,
+                               host_subsampled=host_subsampled)
     st_shard = state_sharding(state_template, mesh, min_dim)
     fs, ls, ns = _batch_shardings(mesh)
     return jax.jit(
@@ -206,12 +208,14 @@ def build_shardmap_distill_step(
 
 
 def build_shardmap_finetune_step(
-    cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20
+    cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20,
+    host_subsampled: bool = False,
 ):
     """Data-parallel student-only TRAIN step via shard_map."""
     if mesh.shape.get("model", 1) != 1:
         raise ValueError("shard_map train path is data-parallel only")
-    step = build_finetune_step(cfg, optimizer, top_k, axis_name=DATA_AXIS)
+    step = build_finetune_step(cfg, optimizer, top_k, axis_name=DATA_AXIS,
+                               host_subsampled=host_subsampled)
     return _shardmap_train(
         step, mesh, ("student_label_loss", "student_reg_loss")
     )

@@ -44,12 +44,24 @@ def save_checkpoint(
 ) -> str:
     """Write `model.ckpt-<step>[.msgpack]` and update the pointer file.
     The reference keeps only the latest (`Saver(max_to_keep=1)`,
-    train.py:651)."""
+    train.py:651).
+
+    Multi-host contract: EVERY process calls this. The orbax backend's
+    save is a collective (each host writes its own shards and joins the
+    commit barrier); the msgpack backend writes from the master only
+    (state must be host-replicated — DP — or use orbax). Pointer-file
+    update and max_to_keep cleanup run on the master only.
+    """
+    is_master = jax.process_index() == 0
     os.makedirs(train_dir, exist_ok=True)
     if backend == "orbax":
         path = os.path.abspath(os.path.join(train_dir, f"{_PREFIX}-{step}"))
-        if os.path.exists(path):
+        if is_master and os.path.exists(path):
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_dir_ready_{step}")
         ckptr = _orbax_checkpointer()
         # hand orbax the device arrays as-is: sharded jax.Arrays are
         # written shard-by-shard (each host its own shards under
@@ -57,26 +69,29 @@ def save_checkpoint(
         ckptr.save(path, state)
         ckptr.wait_until_finished()  # StandardCheckpointer saves async
     elif backend == "msgpack":
-        not_addressable = [
-            x for x in jax.tree.leaves(state)
-            if isinstance(x, jax.Array) and not x.is_fully_addressable
-        ]
-        if not_addressable:
-            raise ValueError(
-                "msgpack checkpoints need the full state on this host; "
-                f"{len(not_addressable)} leaves are sharded across hosts "
-                "— use --checkpoint_format orbax for multi-host sharded "
-                "state"
-            )
-        state = jax.device_get(state)
         path = os.path.join(train_dir, f"{_PREFIX}-{step}.msgpack")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(flax.serialization.to_bytes(state))
-        os.replace(tmp, path)
+        if is_master:
+            not_addressable = [
+                x for x in jax.tree.leaves(state)
+                if isinstance(x, jax.Array) and not x.is_fully_addressable
+            ]
+            if not_addressable:
+                raise ValueError(
+                    "msgpack checkpoints need the full state on this host; "
+                    f"{len(not_addressable)} leaves are sharded across "
+                    "hosts — use --checkpoint_format orbax for multi-host "
+                    "sharded state"
+                )
+            state = jax.device_get(state)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(flax.serialization.to_bytes(state))
+            os.replace(tmp, path)
     else:
         raise ValueError(f"unknown checkpoint backend {backend!r}")
 
+    if not is_master:
+        return path
     existing = _list_checkpoints(train_dir)
     ordered = [path] + [p for p in existing if p != path]
     with open(os.path.join(train_dir, _POINTER), "w") as f:

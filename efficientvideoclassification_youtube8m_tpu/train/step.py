@@ -378,12 +378,16 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
 
 
 def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
-                        axis_name: Optional[str] = None):
+                        axis_name: Optional[str] = None,
+                        host_subsampled: bool = False):
     """Student-only training: CE + reg (train_finetune.py:263-331).
 
     With `axis_name`, a per-device shard_map program: both loss terms are
     batch-mean / batch-independent, so the local loss is scaled by
-    1/n_devices and the local grads psum'd (see build_distill_train_step)."""
+    1/n_devices and the local grads psum'd (see build_distill_train_step).
+
+    `host_subsampled`: frames were strided to every_n on the HOST
+    (1/every_n the H2D bytes); `num_frames` stays the ORIGINAL count."""
     schedule = exponential_decay(
         cfg.base_learning_rate,
         cfg.batch_size,
@@ -415,9 +419,9 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
         # results (the ops are per-frame and the LSTM freezes past
         # nf_student), ~10x less preprocess work
         nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
-        model_input_s = preprocess_batch(
-            cfg, uniform_subsample(features_u8, cfg.every_n), nf_student
-        )
+        sub = (features_u8 if host_subsampled
+               else uniform_subsample(features_u8, cfg.every_n))
+        model_input_s = preprocess_batch(cfg, sub, nf_student)
 
         rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.global_step)
         if axis_name is not None:

@@ -66,35 +66,35 @@ def _default_bucket_limits() -> "np.ndarray":
 _BUCKET_LIMITS = _default_bucket_limits()
 
 
-def make_histogram(tag: str, values) -> bytes:
-    """Serialized Summary proto with one HistogramProto value — the wire
-    format `tf.summary.histogram` produces (the reference emits one per
-    model variable, train.py:426-427).
+def make_histogram_from_stats(
+    tag: str,
+    num: float,
+    vmin: float,
+    vmax: float,
+    vsum: float,
+    sum_squares: float,
+    counts: "np.ndarray",
+) -> bytes:
+    """Serialized Summary proto with one HistogramProto value from
+    precomputed statistics (`counts` aligned with _BUCKET_LIMITS).
 
     HistogramProto: min=1 max=2 num=3 sum=4 sum_squares=5 (doubles),
     bucket_limit=6 bucket=7 (packed doubles); Summary.Value carries it in
     field 5 (`histo`). Zero-count bucket runs are collapsed to their last
     limit, matching TF's EncodeToProto(preserve_zero_buckets=false).
     """
-    x = np.asarray(values, dtype=np.float64).ravel()
     histo = b""
-    if x.size:
-        histo += _double_field(1, float(x.min()))
-        histo += _double_field(2, float(x.max()))
+    if num > 0:
+        histo += _double_field(1, float(vmin))
+        histo += _double_field(2, float(vmax))
     else:
         # empty histogram: TF's initial min/max sentinels
         histo += _double_field(1, _BUCKET_LIMITS[-1])
         histo += _double_field(2, _BUCKET_LIMITS[0])
-    histo += _double_field(3, float(x.size))
-    histo += _double_field(4, float(x.sum()))
-    histo += _double_field(5, float(np.square(x).sum()))
-
-    # bucket i spans (limit[i-1], limit[i]]; searchsorted with side="left"
-    # maps v to the first limit >= v
-    counts = np.bincount(
-        np.searchsorted(_BUCKET_LIMITS, x, side="left"),
-        minlength=len(_BUCKET_LIMITS),
-    ).astype(np.float64)
+    histo += _double_field(3, float(num))
+    histo += _double_field(4, float(vsum))
+    histo += _double_field(5, float(sum_squares))
+    counts = np.asarray(counts, np.float64)
     limits_out, counts_out = [], []
     i = 0
     n = len(_BUCKET_LIMITS)
@@ -116,6 +116,68 @@ def make_histogram(tag: str, values) -> bytes:
     )
     val = _len_field(1, str(tag).encode()) + _len_field(5, histo)
     return _len_field(1, val)
+
+
+def make_histogram(tag: str, values) -> bytes:
+    """make_histogram_from_stats over host values. Non-finite entries are
+    dropped everywhere (num/min/max/sum AND buckets) so the proto stays
+    internally consistent even for diverging runs."""
+    x = np.asarray(values, dtype=np.float64).ravel()
+    x = x[np.isfinite(x)]
+    # bucket i spans (limit[i-1], limit[i]]; searchsorted with side="left"
+    # maps v to the first limit >= v
+    counts = np.bincount(
+        np.searchsorted(_BUCKET_LIMITS, x, side="left"),
+        minlength=len(_BUCKET_LIMITS),
+    ).astype(np.float64)
+    return make_histogram_from_stats(
+        tag,
+        num=float(x.size),
+        vmin=float(x.min()) if x.size else 0.0,
+        vmax=float(x.max()) if x.size else 0.0,
+        vsum=float(x.sum()),
+        sum_squares=float(np.square(x).sum()),
+        counts=counts,
+    )
+
+
+def histogram_stats_on_device(leaf):
+    """Per-variable histogram statistics computed ON DEVICE: one jitted
+    reduction per parameter returns (num, min, max, sum, sum_squares,
+    bucket_counts) — a few KB over the host link instead of the full
+    parameter value (the naive device_get of both towers is hundreds of
+    MB per summary tick). Non-finite values are dropped, matching
+    make_histogram."""
+    import jax
+    import jax.numpy as jnp
+
+    global _DEVICE_HISTO_FN
+    if _DEVICE_HISTO_FN is None:
+        # f32 limits: every limit beyond f32 range collapses to +/-inf,
+        # which only affects values > 3.4e38 — unrepresentable in the f32
+        # parameters this consumes
+        limits = jnp.asarray(_BUCKET_LIMITS.astype(np.float32))
+
+        def stats(x):
+            x = x.ravel().astype(jnp.float32)
+            finite = jnp.isfinite(x)
+            xf = jnp.where(finite, x, 0.0)
+            num = jnp.sum(finite)
+            vmin = jnp.min(jnp.where(finite, x, jnp.inf))
+            vmax = jnp.max(jnp.where(finite, x, -jnp.inf))
+            idx = jnp.clip(
+                jnp.searchsorted(limits, x, side="left"), 0, limits.shape[0] - 1
+            )
+            counts = jnp.zeros((limits.shape[0],), jnp.float32).at[idx].add(
+                finite.astype(jnp.float32)
+            )
+            return (num, vmin, vmax, jnp.sum(xf), jnp.sum(xf * xf), counts)
+
+        _DEVICE_HISTO_FN = jax.jit(stats)
+    return _DEVICE_HISTO_FN(leaf)
+
+
+_DEVICE_HISTO_FN = None
 
 
 def make_event(
@@ -191,15 +253,33 @@ def write_variable_histograms(
     """One histogram per model variable, tag = variable path — the
     rebuild of `tf.summary.histogram(variable.op.name, variable)` over
     `slim.get_model_variables()` (train.py:426-427), emitted by the
-    train loops at the save_summaries_secs cadence."""
+    train loops at the save_summaries_secs cadence.
+
+    Device arrays are reduced ON DEVICE (histogram_stats_on_device) so a
+    summary tick moves a few KB per variable instead of the variables
+    themselves; numpy inputs take the host path."""
     import jax
 
-    flat = jax.tree_util.tree_flatten_with_path(jax.device_get(params))[0]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
         name = prefix + "/" + "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
-        writer.histogram(name, np.asarray(leaf), global_step)
+        if isinstance(leaf, jax.Array):
+            num, vmin, vmax, vsum, sumsq, counts = jax.device_get(
+                histogram_stats_on_device(leaf)
+            )
+            writer.add_summary(
+                make_histogram_from_stats(
+                    name, float(num),
+                    float(vmin) if num else 0.0,
+                    float(vmax) if num else 0.0,
+                    float(vsum), float(sumsq), np.asarray(counts),
+                ),
+                global_step,
+            )
+        else:
+            writer.histogram(name, np.asarray(leaf), global_step)
 
 
 def add_global_step_summary(

@@ -182,6 +182,13 @@ assert losses.shape[0] == 2 and abs(losses[0] - losses[1]) == 0.0, losses
 topk_mine = distributed.local_rows(metrics["topk_val"])
 assert topk_mine.shape == (hc.local_batch_size, 3)
 
+# --- master-decision broadcasts (cadence flags, checkpoint election) -----
+assert distributed.broadcast_flag(PID == 0) is True  # master said True
+assert distributed.broadcast_flag(False if PID == 0 else True) is False
+got = distributed.broadcast_str("model.ckpt-42" if PID == 0 else None)
+assert got == "model.ckpt-42", got
+assert distributed.broadcast_str(None) is None
+
 # --- multi-host orbax checkpoint: every process writes its shards -------
 ckpt_dir = os.environ["MULTIHOST_CKPT_DIR"]
 path = save_checkpoint(ckpt_dir, state, 2, backend="orbax")
