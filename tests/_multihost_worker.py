@@ -202,4 +202,51 @@ np.testing.assert_array_equal(
 )
 assert int(np.asarray(restored.global_step)) == 2
 
+# --- the FULL cli.validate binary, 2 processes end-to-end ---------------
+# (loader sharding, host-stream sync, gather_step_outputs, master-only
+# summaries, broadcast-elected checkpoint — the whole multi-host eval
+# path through the real entry point)
+from efficientvideoclassification_youtube8m_tpu.data.yt8m import (  # noqa: E402
+    write_synthetic_frame_shard,
+)
+from efficientvideoclassification_youtube8m_tpu.cli import (  # noqa: E402
+    validate as validate_cli,
+)
+
+data_dir = os.path.join(os.environ["MULTIHOST_CKPT_DIR"], "data")
+train_dir = os.path.join(os.environ["MULTIHOST_CKPT_DIR"], "train")
+if PID == 0:
+    os.makedirs(data_dir, exist_ok=True)
+    for shard in range(2):
+        write_synthetic_frame_shard(
+            os.path.join(data_dir, f"validate-{shard:04d}.tfrecord"),
+            num_videos=5 + shard, seed=shard, max_frames=cfg.max_num_frames,
+            min_frames=3, vocab_size=cfg.num_classes,
+            feature_sizes=(4, 2),
+        )
+    # a restorable msgpack checkpoint (master-only write inside).
+    # NOTE: state_host's buffers may be aliased by place_state and were
+    # donated to the train step above — save a freshly-initialized state.
+    save_checkpoint(train_dir, jax.device_get(init_distill_state(cfg, opt)),
+                    2, backend="msgpack")
+multihost_utils.sync_global_devices("validate_fixture_ready")
+
+validate_cli.main([
+    "--train_dir", train_dir,
+    "--eval_data_pattern", os.path.join(data_dir, "validate-*.tfrecord"),
+    "--num_classes", str(cfg.num_classes),
+    "--feature_sizes", "4, 2",
+    "--max_num_frames", str(cfg.max_num_frames),
+    "--lstm_cells", str(cfg.lstm_cells),
+    "--num_inputs_to_lstm", str(cfg.num_inputs_to_lstm),
+    "--num_inputs_L1", str(cfg.num_inputs_L1),
+    "--every_n", str(cfg.every_n),
+    "--batch_size", "4",
+    "--top_k", "5",
+    "--compute_dtype", "float32",
+    "--scan_unroll", "1",
+    "--num_readers", "1",
+    "--run_once", "true",
+])
+
 print("MULTIHOST_OK")
