@@ -64,17 +64,14 @@ def finetune(args):
         # flag stays an error so a typo'd --train_dir in the distill ->
         # convert -> finetune chain can't silently train from random init.
         logger.info("Building new model.")
-        state = template
     elif ckpt is None:
         raise IOError(
             f"no converted checkpoint in {cfg.train_dir}; run convert "
             "first, or pass --start_new_model to train from scratch"
         )
-    else:
-        logger.info("Resuming student from %s", ckpt)
-        state = restore_checkpoint(ckpt, template)
     logger.info("Trainable Parameters of Student:")
-    logger.info("%s", flags_lib.param_names(state.params_student, "model_student"))
+    logger.info("%s", flags_lib.param_names(template.params_student,
+                                            "model_student"))
 
     mesh = create_mesh(model=args.model_parallelism)
     # frames are strided on the host below: 1/every_n the H2D bytes
@@ -84,10 +81,16 @@ def finetune(args):
         )
     else:
         step_fn = build_sharded_finetune_step(
-            cfg, optimizer, mesh, state, top_k=args.top_k,
+            cfg, optimizer, mesh, template, top_k=args.top_k,
             host_subsampled=True
         )
-    state = place_state(state, mesh)
+    # place BEFORE restoring (see cli/train.py): orbax reads each shard
+    # onto its device; the re-place no-ops for global arrays and places
+    # msgpack's numpy leaves — no cross-host device transfers
+    state = place_state(template, mesh)
+    if ckpt:
+        logger.info("Resuming student from %s", ckpt)
+        state = place_state(restore_checkpoint(ckpt, state), mesh)
 
     loader = FrameDataLoader(
         cfg.train_data_pattern,

@@ -67,11 +67,6 @@ def train(args) -> None:
     logger.info("Trainable Parameters of Student:")
     logger.info("%s", flags_lib.param_names(state.params_student, "model_student"))
 
-    ckpt = None if args.start_new_model else latest_checkpoint(cfg.train_dir)
-    if ckpt:
-        logger.info("Restoring from %s", ckpt)
-        state = restore_checkpoint(ckpt, state)
-
     mesh = create_mesh(model=args.model_parallelism)
     logger.info("Device mesh: %s", dict(mesh.shape))
     if args.use_shardmap_train:
@@ -82,7 +77,15 @@ def train(args) -> None:
         step_fn = build_sharded_distill_step(
             cfg, optimizer, mesh, state, top_k=args.top_k
         )
+    # place BEFORE restoring: orbax then reads every shard straight onto
+    # its device (incl. other hosts' shards to their hosts), and the
+    # re-place is a no-op for already-global arrays / the mesh placement
+    # for msgpack's numpy leaves — no cross-host device transfers.
     state = place_state(state, mesh)
+    ckpt = None if args.start_new_model else latest_checkpoint(cfg.train_dir)
+    if ckpt:
+        logger.info("Restoring from %s", ckpt)
+        state = place_state(restore_checkpoint(ckpt, state), mesh)
 
     loader = FrameDataLoader(
         cfg.train_data_pattern,

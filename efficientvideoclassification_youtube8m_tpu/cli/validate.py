@@ -100,8 +100,11 @@ def evaluate(args):
     cfg = flags_lib.config_from_args(args)
     host = distributed.host_context(cfg.batch_size)
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
-    template = init_distill_state(cfg, optimizer)
     mesh = create_mesh(model=args.model_parallelism)
+    from efficientvideoclassification_youtube8m_tpu.parallel import place_state
+
+    # mesh-placed template: restores read straight onto the shardings
+    template = place_state(init_distill_state(cfg, optimizer), mesh)
     step_fn = build_sharded_validate_step(
         cfg, mesh, template.params_teacher, template.params_student,
         top_k=args.top_k,
@@ -122,7 +125,7 @@ def evaluate(args):
             logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
         elif ckpt != last_checkpoint:
             logger.info("Loading checkpoint for eval: %s", ckpt)
-            state = restore_checkpoint(ckpt, template)
+            state = place_state(restore_checkpoint(ckpt, template), mesh)
             evaluation_loop(cfg, args, state, step_fn, mesh, writer, ckpt,
                             host)
             last_checkpoint = ckpt

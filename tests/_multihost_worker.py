@@ -249,4 +249,54 @@ validate_cli.main([
     "--run_once", "true",
 ])
 
+# --- the FULL cli.train binary, 2 processes end-to-end + resume ---------
+# (per-host loader shards, host-stream sync, broadcast cadences,
+# collective orbax save, restore-from-latest on relaunch)
+from efficientvideoclassification_youtube8m_tpu.cli import (  # noqa: E402
+    train as train_cli,
+)
+from efficientvideoclassification_youtube8m_tpu.train import (  # noqa: E402
+    latest_checkpoint,
+)
+
+cli_train_dir = os.path.join(os.environ["MULTIHOST_CKPT_DIR"], "train_cli")
+if PID == 0:
+    for shard in range(2):
+        write_synthetic_frame_shard(
+            os.path.join(data_dir, f"train-{shard:04d}.tfrecord"),
+            num_videos=5 + shard, seed=10 + shard,
+            max_frames=cfg.max_num_frames, min_frames=3,
+            vocab_size=cfg.num_classes, feature_sizes=(4, 2),
+        )
+multihost_utils.sync_global_devices("train_fixture_ready")
+
+train_flags = [
+    "--train_dir", cli_train_dir,
+    "--train_data_pattern", os.path.join(data_dir, "train-*.tfrecord"),
+    "--num_classes", str(cfg.num_classes),
+    "--feature_sizes", "4, 2",
+    "--max_num_frames", str(cfg.max_num_frames),
+    "--lstm_cells", str(cfg.lstm_cells),
+    "--num_inputs_to_lstm", str(cfg.num_inputs_to_lstm),
+    "--num_inputs_L1", str(cfg.num_inputs_L1),
+    "--every_n", str(cfg.every_n),
+    "--batch_size", "4",
+    "--top_k", "5",
+    "--num_epochs", "1",
+    "--compute_dtype", "float32",
+    "--scan_unroll", "1",
+    "--num_readers", "1",
+    "--checkpoint_format", "orbax",
+]
+train_cli.main(train_flags + ["--start_new_model", "true"])
+ckpt1 = latest_checkpoint(cli_train_dir)
+assert ckpt1 is not None and os.path.isdir(ckpt1), ckpt1
+# 2 files -> host shards of 5/6 videos -> 2 synced steps, +2/step
+assert ckpt1.endswith("model.ckpt-4"), ckpt1
+
+# relaunch WITHOUT --start_new_model: resumes from the orbax checkpoint
+train_cli.main(train_flags)
+ckpt2 = latest_checkpoint(cli_train_dir)
+assert ckpt2.endswith("model.ckpt-8"), ckpt2
+
 print("MULTIHOST_OK")
