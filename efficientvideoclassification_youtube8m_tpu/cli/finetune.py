@@ -12,8 +12,6 @@ import logging
 import sys
 import time
 
-import numpy as np
-
 from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
 from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
 from efficientvideoclassification_youtube8m_tpu.metrics import train_step_metrics

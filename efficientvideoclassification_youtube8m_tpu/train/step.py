@@ -22,8 +22,7 @@ Set faithful_quirks=False for the corrected versions.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
