@@ -52,6 +52,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--log_device_placement", type=_bool, default=False)
     p.add_argument("--gpu", type=int, default=0,
                    help="accepted for flag parity; devices come from JAX")
+    p.add_argument("--device", default="/gpu:0",
+                   help="accepted for flag parity (inference_ensemble.py:54);"
+                   " devices come from JAX")
     # model hyperparameters
     p.add_argument("--lstm_cells", type=int, default=1024)
     p.add_argument("--lstm_layers", type=int, default=2)
