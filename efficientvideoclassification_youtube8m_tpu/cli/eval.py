@@ -101,16 +101,20 @@ def evaluate(args):
     distributed.initialize()  # no-op single-process
     cfg = flags_lib.config_from_args(args)
     host = distributed.host_context(cfg.batch_size)
-    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
-    mesh = create_mesh(model=args.model_parallelism)
+    import jax
+
     from efficientvideoclassification_youtube8m_tpu.parallel import place_state
 
-    # mesh-placed template: restores read straight onto the shardings
-    template = place_state(
-        student_state_from_distill(
-            init_distill_state(cfg, optimizer), optimizer
-        ),
-        mesh,
+    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    mesh = create_mesh(model=args.model_parallelism)
+    # mesh-placed PARAMS template (opt moments stay host arrays — this
+    # binary never reads them; see cli/validate.py)
+    template = student_state_from_distill(
+        init_distill_state(cfg, optimizer), optimizer
+    )
+    template = template.replace(
+        params_student=place_state(template.params_student, mesh),
+        opt_student=jax.device_get(template.opt_student),
     )
     step_fn = build_sharded_eval_step(
         cfg, mesh, template.params_student, top_k=args.top_k,
@@ -130,7 +134,10 @@ def evaluate(args):
             logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
         elif ckpt != last_checkpoint:
             logger.info("Loading checkpoint for eval: %s", ckpt)
-            state = place_state(restore_checkpoint(ckpt, template), mesh)
+            state = restore_checkpoint(ckpt, template)
+            state = state.replace(
+                params_student=place_state(state.params_student, mesh)
+            )
             evaluation_loop(cfg, args, state.params_student,
                             int(np.asarray(state.global_step)), step_fn, mesh,
                             writer, host)

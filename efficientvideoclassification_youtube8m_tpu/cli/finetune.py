@@ -54,7 +54,10 @@ def finetune(args):
         init_distill_state(cfg, optimizer), optimizer
     )
 
-    ckpt = None if args.start_new_model else latest_checkpoint(cfg.train_dir)
+    # master-elected resume checkpoint (hosts must restore the SAME one)
+    ckpt = None if args.start_new_model else distributed.broadcast_str(
+        latest_checkpoint(cfg.train_dir) if host.is_master else None
+    )
     if args.start_new_model:
         # from-scratch training (the reference finetuner's fresh-model path,
         # train_finetune.py:377-379) — also how single-tower models like

@@ -80,7 +80,11 @@ def train(args) -> None:
     # re-place is a no-op for already-global arrays / the mesh placement
     # for msgpack's numpy leaves — no cross-host device transfers.
     state = place_state(state, mesh)
-    ckpt = None if args.start_new_model else latest_checkpoint(cfg.train_dir)
+    # master-elected resume checkpoint: hosts racing their own directory
+    # reads (NFS attribute caches) could restore different states
+    ckpt = None if args.start_new_model else distributed.broadcast_str(
+        latest_checkpoint(cfg.train_dir) if host.is_master else None
+    )
     if ckpt:
         logger.info("Restoring from %s", ckpt)
         state = place_state(restore_checkpoint(ckpt, state), mesh)

@@ -99,12 +99,23 @@ def evaluate(args):
     distributed.initialize()  # no-op single-process
     cfg = flags_lib.config_from_args(args)
     host = distributed.host_context(cfg.batch_size)
-    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
-    mesh = create_mesh(model=args.model_parallelism)
+    import jax
+
     from efficientvideoclassification_youtube8m_tpu.parallel import place_state
 
-    # mesh-placed template: restores read straight onto the shardings
-    template = place_state(init_distill_state(cfg, optimizer), mesh)
+    optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    mesh = create_mesh(model=args.model_parallelism)
+    # mesh-placed PARAMS template: restores read the params straight onto
+    # the shardings; the optimizer moments this binary never touches stay
+    # host arrays (orbax restores them to host, msgpack ignores devices) —
+    # no dead HBM for 2x Adam state on an eval chip
+    template = init_distill_state(cfg, optimizer)
+    template = template.replace(
+        params_teacher=place_state(template.params_teacher, mesh),
+        params_student=place_state(template.params_student, mesh),
+        opt_teacher=jax.device_get(template.opt_teacher),
+        opt_student=jax.device_get(template.opt_student),
+    )
     step_fn = build_sharded_validate_step(
         cfg, mesh, template.params_teacher, template.params_student,
         top_k=args.top_k,
@@ -125,7 +136,11 @@ def evaluate(args):
             logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
         elif ckpt != last_checkpoint:
             logger.info("Loading checkpoint for eval: %s", ckpt)
-            state = place_state(restore_checkpoint(ckpt, template), mesh)
+            state = restore_checkpoint(ckpt, template)
+            state = state.replace(
+                params_teacher=place_state(state.params_teacher, mesh),
+                params_student=place_state(state.params_student, mesh),
+            )
             evaluation_loop(cfg, args, state, step_fn, mesh, writer, ckpt,
                             host)
             last_checkpoint = ckpt

@@ -72,9 +72,7 @@ def initialize(
             process_id = tfc["process_id"]
     if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
         return  # single process
-    from jax._src import distributed as jax_distributed
-
-    if jax_distributed.global_state.client is not None:
+    if jax.distributed.is_initialized():
         return  # already initialized (e.g. a scripted multi-stage pipeline
         # calling several CLI mains in one process)
     jax.distributed.initialize(

@@ -4,8 +4,11 @@
 # reference's dispatcher consumed (train.py:704-733) — and is parsed by
 # parallel/distributed.py into jax.distributed.initialize().
 #
+#   # fresh model (explicitly):
+#   START_NEW_MODEL=True NUM_HOSTS=2 HOST_INDEX=0 COORDINATOR=10.0.0.1:7077 ./run_train_multihost.sh
+#   START_NEW_MODEL=True NUM_HOSTS=2 HOST_INDEX=1 COORDINATOR=10.0.0.1:7077 ./run_train_multihost.sh
+#   # relaunch-and-resume (the fault-tolerance flow) is the DEFAULT:
 #   NUM_HOSTS=2 HOST_INDEX=0 COORDINATOR=10.0.0.1:7077 ./run_train_multihost.sh
-#   NUM_HOSTS=2 HOST_INDEX=1 COORDINATOR=10.0.0.1:7077 ./run_train_multihost.sh
 #
 # Semantics (all handled inside the binaries — see cli/train.py):
 #   * --batch_size is the GLOBAL batch; each host loads its
@@ -43,6 +46,6 @@ time python -u -m efficientvideoclassification_youtube8m_tpu.cli.train \
   --frame_features True --feature_names "rgb, audio" --feature_sizes "1024, 128" \
   --model "HierarchicalLstmModel" --batch_size ${BATCH_SIZE:-512} \
   --num_inputs_to_lstm 20 --lstm_layers 2 \
-  --start_new_model ${START_NEW_MODEL:-True} --num_epochs ${EPOCH:-1} \
+  --start_new_model ${START_NEW_MODEL:-False} --num_epochs ${EPOCH:-1} \
   --every_n 10 --base_learning_rate 0.001 \
   --checkpoint_format ${CHECKPOINT_FORMAT:-orbax}
