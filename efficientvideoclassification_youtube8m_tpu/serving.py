@@ -191,21 +191,26 @@ class Predictor:
             raise IOError(f"no checkpoint in {train_dir}")
         opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
         distill_template = init_distill_state(cfg, opt)
-        try:
-            state = restore_checkpoint(
-                ckpt, student_state_from_distill(distill_template, opt)
-            )
-            if tower == "teacher":
+        if tower == "teacher":
+            # distillation checkpoints only (msgpack or reference TF);
+            # a student-only probe would FALSELY succeed on TF bundles
+            # (both towers' variables share one bundle)
+            try:
+                state = restore_checkpoint(ckpt, distill_template)
+            except KeyError as e:
                 raise ValueError(
                     f"{ckpt} is a student-only checkpoint; no teacher tower"
+                ) from e
+            params = state.params_teacher
+        else:
+            try:
+                state = restore_checkpoint(
+                    ckpt, student_state_from_distill(distill_template, opt)
                 )
+            except (KeyError, ValueError):
+                # a distillation checkpoint: take its student subtree
+                state = restore_checkpoint(ckpt, distill_template)
             params = state.params_student
-        except (KeyError, ValueError) as e:
-            if isinstance(e, ValueError) and "student-only" in str(e):
-                raise
-            state = restore_checkpoint(ckpt, distill_template)
-            params = (state.params_student if tower == "student"
-                      else state.params_teacher)
         return cls(cfg, params, tower, serve_batch, mesh=mesh,
                    sequence_parallel=sequence_parallel)
 
