@@ -101,20 +101,19 @@ def evaluate(args):
     distributed.initialize()  # no-op single-process
     cfg = flags_lib.config_from_args(args)
     host = distributed.host_context(cfg.batch_size)
-    import jax
-
-    from efficientvideoclassification_youtube8m_tpu.parallel import place_state
+    from efficientvideoclassification_youtube8m_tpu.parallel import place_fields
 
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     mesh = create_mesh(model=args.model_parallelism)
-    # mesh-placed PARAMS template (opt moments stay host arrays — this
+    # mesh-placed PARAMS template (opt moments stay host numpy — this
     # binary never reads them; see cli/validate.py)
-    template = student_state_from_distill(
-        init_distill_state(cfg, optimizer), optimizer
-    )
-    template = template.replace(
-        params_student=place_state(template.params_student, mesh),
-        opt_student=jax.device_get(template.opt_student),
+    _PLACED = ("params_student",)
+    template = place_fields(
+        student_state_from_distill(
+            init_distill_state(cfg, optimizer, host_optimizer_state=True),
+            optimizer, host_optimizer_state=True,
+        ),
+        mesh, _PLACED,
     )
     step_fn = build_sharded_eval_step(
         cfg, mesh, template.params_student, top_k=args.top_k,
@@ -134,10 +133,8 @@ def evaluate(args):
             logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
         elif ckpt != last_checkpoint:
             logger.info("Loading checkpoint for eval: %s", ckpt)
-            state = restore_checkpoint(ckpt, template)
-            state = state.replace(
-                params_student=place_state(state.params_student, mesh)
-            )
+            state = place_fields(restore_checkpoint(ckpt, template), mesh,
+                                 _PLACED)
             evaluation_loop(cfg, args, state.params_student,
                             int(np.asarray(state.global_step)), step_fn, mesh,
                             writer, host)

@@ -99,22 +99,18 @@ def evaluate(args):
     distributed.initialize()  # no-op single-process
     cfg = flags_lib.config_from_args(args)
     host = distributed.host_context(cfg.batch_size)
-    import jax
-
-    from efficientvideoclassification_youtube8m_tpu.parallel import place_state
+    from efficientvideoclassification_youtube8m_tpu.parallel import place_fields
 
     optimizer = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     mesh = create_mesh(model=args.model_parallelism)
     # mesh-placed PARAMS template: restores read the params straight onto
-    # the shardings; the optimizer moments this binary never touches stay
-    # host arrays (orbax restores them to host, msgpack ignores devices) —
-    # no dead HBM for 2x Adam state on an eval chip
-    template = init_distill_state(cfg, optimizer)
-    template = template.replace(
-        params_teacher=place_state(template.params_teacher, mesh),
-        params_student=place_state(template.params_student, mesh),
-        opt_teacher=jax.device_get(template.opt_teacher),
-        opt_student=jax.device_get(template.opt_student),
+    # the shardings; the optimizer moments this binary never touches are
+    # host numpy (orbax restores them to host, msgpack ignores devices) —
+    # no HBM, not even transiently, for 2x Adam state on an eval chip
+    _PLACED = ("params_teacher", "params_student")
+    template = place_fields(
+        init_distill_state(cfg, optimizer, host_optimizer_state=True),
+        mesh, _PLACED,
     )
     step_fn = build_sharded_validate_step(
         cfg, mesh, template.params_teacher, template.params_student,
@@ -136,11 +132,8 @@ def evaluate(args):
             logger.info("No checkpoint yet in %s; waiting.", cfg.train_dir)
         elif ckpt != last_checkpoint:
             logger.info("Loading checkpoint for eval: %s", ckpt)
-            state = restore_checkpoint(ckpt, template)
-            state = state.replace(
-                params_teacher=place_state(state.params_teacher, mesh),
-                params_student=place_state(state.params_student, mesh),
-            )
+            state = place_fields(restore_checkpoint(ckpt, template), mesh,
+                                 _PLACED)
             evaluation_loop(cfg, args, state, step_fn, mesh, writer, ckpt,
                             host)
             last_checkpoint = ckpt

@@ -20,6 +20,7 @@ from efficientvideoclassification_youtube8m_tpu.parallel.sharded_step import (
     build_sharded_eval_step,
     build_sharded_finetune_step,
     build_sharded_validate_step,
+    place_fields,
     place_state,
     state_sharding,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "build_sharded_eval_step",
     "build_sharded_finetune_step",
     "build_sharded_validate_step",
+    "place_fields",
     "place_state",
     "state_sharding",
 ]

@@ -246,14 +246,20 @@ def broadcast_str(value: Optional[str], max_len: int = 1024) -> Optional[str]:
 
     from jax.experimental import multihost_utils
 
+    _TOO_LONG = b"\x01TOO_LONG"
     buf = np.zeros((max_len,), np.uint8)
     if jax.process_index() == 0 and value:
         raw = value.encode("utf-8")
         if len(raw) > max_len:
-            raise ValueError(f"path longer than {max_len} bytes: {value!r}")
+            # raising before the collective would strand the workers
+            # inside broadcast_one_to_all — broadcast a sentinel so
+            # EVERY host raises the same error deterministically
+            raw = _TOO_LONG
         buf[: len(raw)] = np.frombuffer(raw, np.uint8)
     out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
     raw = bytes(out[out != 0])
+    if raw == _TOO_LONG:
+        raise ValueError(f"broadcast string longer than {max_len} bytes")
     return raw.decode("utf-8") if raw else None
 
 

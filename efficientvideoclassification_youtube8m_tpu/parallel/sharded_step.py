@@ -84,6 +84,16 @@ def place_state(state: Any, mesh: Mesh, min_dim: int = 4200):
     return jax.device_put(state, state_sharding(state, mesh, min_dim))
 
 
+def place_fields(state: Any, mesh: Mesh, fields, min_dim: int = 4200):
+    """Place only the NAMED subtrees of a state dataclass on the mesh;
+    every other leaf stays where it is. The eval binaries use this so
+    params restore straight onto their shardings while the optimizer
+    moments they never read remain host arrays."""
+    return state.replace(**{
+        f: place_state(getattr(state, f), mesh, min_dim) for f in fields
+    })
+
+
 def build_sharded_distill_step(
     cfg: TrainConfig,
     optimizer: Optimizer,

@@ -197,7 +197,9 @@ class Predictor:
             # (both towers' variables share one bundle)
             try:
                 state = restore_checkpoint(ckpt, distill_template)
-            except KeyError as e:
+            except (KeyError, ValueError) as e:
+                # KeyError: TF bundle missing teacher vars; ValueError:
+                # msgpack/orbax tree mismatch — all mean the same thing
                 raise ValueError(
                     f"{ckpt} is a student-only checkpoint; no teacher tower"
                 ) from e

@@ -78,6 +78,16 @@ class Optimizer:
     def init(self, params):
         return self._init(params)
 
+    def init_host(self, params):
+        """Same slot structure as init(), but numpy zeros on the HOST —
+        for eval-only binaries whose templates never read the optimizer
+        state (avoids even a transient device allocation of the Adam
+        moments, ~2x the parameter bytes)."""
+        import numpy as np
+
+        shapes = jax.eval_shape(self._init, params)
+        return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+
     def update(self, grads, state, params, learning_rate):
         if self.clip_gradient_norm > 0:
             grads = clip_grads_per_variable(grads, self.clip_gradient_norm)

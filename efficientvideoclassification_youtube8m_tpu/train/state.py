@@ -42,8 +42,12 @@ class StudentState:
 
 
 def init_distill_state(
-    cfg: TrainConfig, optimizer: Optimizer, rng: Optional[jax.Array] = None
+    cfg: TrainConfig, optimizer: Optimizer, rng: Optional[jax.Array] = None,
+    host_optimizer_state: bool = False,
 ) -> DistillState:
+    """`host_optimizer_state`: keep the optimizer slots as numpy
+    zeros on the host — for eval-only templates that never read them
+    (no transient device allocation of 2x-params Adam moments)."""
     rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
     kt, ks = jax.random.split(rng)
     model = get_model(cfg.model)
@@ -72,15 +76,18 @@ def init_distill_state(
     return DistillState(
         params_teacher=params_teacher,
         params_student=params_student,
-        opt_teacher=optimizer.init(params_teacher),
-        opt_student=optimizer.init(params_student),
+        opt_teacher=(optimizer.init_host if host_optimizer_state
+                     else optimizer.init)(params_teacher),
+        opt_student=(optimizer.init_host if host_optimizer_state
+                     else optimizer.init)(params_student),
         global_step=jnp.zeros([], jnp.int32),
         dropout_keep_prob=jnp.asarray(cfg.dropout, jnp.float32),
     )
 
 
 def student_state_from_distill(
-    state: DistillState, optimizer: Optimizer
+    state: DistillState, optimizer: Optimizer,
+    host_optimizer_state: bool = False,
 ) -> StudentState:
     """The convert step (train_convert_model.py:360-401): keep the student
     subtree, drop the teacher, reset optimizer slots + global step for the
@@ -88,7 +95,8 @@ def student_state_from_distill(
     initialize from scratch)."""
     return StudentState(
         params_student=state.params_student,
-        opt_student=optimizer.init(state.params_student),
+        opt_student=(optimizer.init_host if host_optimizer_state
+                     else optimizer.init)(state.params_student),
         global_step=jnp.zeros([], jnp.int32),
         dropout_keep_prob=state.dropout_keep_prob,
     )

@@ -24,6 +24,10 @@ set -e
 NUM_HOSTS=${NUM_HOSTS:-2}
 HOST_INDEX=${HOST_INDEX:-0}
 COORDINATOR=${COORDINATOR:-127.0.0.1:7077}
+if [[ "$COORDINATOR" != *:* ]]; then
+  echo "COORDINATOR must be host:port (got '$COORDINATOR')" >&2
+  exit 1
+fi
 TRAIN_DIR=${TRAIN_DIR:-./model_HLSTM_TeaStud_every10_train/}
 DATA=${DATA:-"./yt8m/train*.tfrecord"}
 mkdir -p "$TRAIN_DIR"
