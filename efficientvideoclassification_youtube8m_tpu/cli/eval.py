@@ -51,26 +51,16 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         num_shards=host.process_count,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
+        # the student never reads the dropped frames: stride at the
+        # PARSER (1/every_n the decode AND H2D bytes; the step is built
+        # with host_subsampled=True)
+        frame_stride=cfg.every_n,
     )
-    def subsample_stream(batches):
-        """Stride the uint8 frames on the host so only 1/every_n of the
-        bytes cross the host->device edge (the student never reads the
-        dropped frames; the step is built with host_subsampled=True)."""
-        import dataclasses as _dc
-
-        from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
-            host_subsample,
-        )
-
-        for b in batches:
-            yield _dc.replace(
-                b, features=host_subsample(b.features, cfg.every_n)
-            )
 
     examples_processed = 0
     start = time.time()
     for (f, l, n), (labels, pad) in device_prefetch(
-            subsample_stream(distributed.sync_host_streams(loader, "eval")),
+            distributed.sync_host_streams(loader, "eval"),
             mesh, host_keep=lambda b: (b.labels, b.pad)):
         out = step_fn(params_student, f, l, n)
         rows = distributed.gather_step_outputs(out, labels, pad)

@@ -109,6 +109,9 @@ def finetune(args):
         drop_remainder=True,  # static shapes, no fabricated rows
         use_native=cfg.use_native_io,
         bagging=args.bagging,
+        # student-only training: parse/move only the kept every_n-th
+        # frames (the step is built with host_subsampled=True)
+        frame_stride=cfg.every_n,
     )
     writer = summary_lib.for_master(cfg.train_dir, host.is_master)
     last_save = time.time()
@@ -150,25 +153,9 @@ def finetune(args):
 
     # one-step-lagged logging: the metric fetch overlaps device compute;
     # device_prefetch overlaps the next batch's H2D with this step
-    def subsample_stream(batches):
-        """Host-side every-n stride: the student never reads the dropped
-        frames, so only 1/every_n of the uint8 bytes cross H2D (the step
-        is built with host_subsampled=True)."""
-        import dataclasses as _dc
-
-        from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
-            host_subsample,
-        )
-
-        for b in batches:
-            yield _dc.replace(
-                b, features=host_subsample(b.features, cfg.every_n)
-            )
-
     pending = None
     for (f, l, n), host_labels in device_prefetch(
-            subsample_stream(distributed.sync_host_streams(loader, "train")),
-            mesh):
+            distributed.sync_host_streams(loader, "train"), mesh):
         batch_start_time = time.time()
         state, metrics = step_fn(state, f, l, n)
         if pending is not None:

@@ -95,20 +95,16 @@ def inference(args):
         shuffle=False,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
+        frame_stride=cfg.every_n,  # parse/move only the kept frames
     )
 
     def rows():
         num_examples_processed = 0
         start_time = time.time()
-        from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
-            host_subsample,
-        )
-
         dummy_labels = np.zeros((cfg.batch_size, cfg.num_classes), bool)
         for batch in loader:
-            f, l, n = shard_batch(mesh,
-                                  host_subsample(batch.features, cfg.every_n),
-                                  dummy_labels, batch.num_frames)
+            f, l, n = shard_batch(mesh, batch.features, dummy_labels,
+                                  batch.num_frames)
             out = step_fn(params, f, l, n)
             valid = len(batch.video_ids) - batch.pad
             preds = np.asarray(out["predictions"])[:valid]

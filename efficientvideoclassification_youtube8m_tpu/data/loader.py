@@ -67,6 +67,7 @@ class FrameDataLoader:
         drop_remainder: bool = False,
         use_native: bool = True,
         bagging: bool = False,
+        frame_stride: int = 1,
     ):
         self.files = sorted(globlib.glob(data_pattern))
         if not self.files:
@@ -94,6 +95,12 @@ class FrameDataLoader:
         self.feature_sizes = list(feature_sizes)
         self.total_size = sum(feature_sizes)
         self.max_frames = max_frames
+        # keep every frame_stride-th frame (the student paths' every_n):
+        # the native parser then decodes 1/stride the bytes, and batches
+        # carry [B, feature_rows, D] with feature_rows = ceil(max/stride);
+        # num_frames stays the ORIGINAL count (consumers' seq-len math)
+        self.frame_stride = max(1, frame_stride)
+        self.feature_rows = (max_frames + self.frame_stride - 1) // self.frame_stride
         self.vocab_size = vocab_size
         self.num_readers = max(1, num_readers)
         self.num_epochs = num_epochs
@@ -117,13 +124,20 @@ class FrameDataLoader:
     def _iter_file(self, path: str) -> Iterator[yt8m.FrameVideo]:
         if self._native is not None:
             yield from self._native.read_frame_file(
-                path, self.feature_names, self.feature_sizes, self.max_frames
+                path, self.feature_names, self.feature_sizes, self.max_frames,
+                stride=self.frame_stride,
             )
         else:
             for record in TFRecordReader(path):
-                yield yt8m.parse_frame_record(
+                video = yt8m.parse_frame_record(
                     record, self.feature_names, self.feature_sizes, self.max_frames
                 )
+                if self.frame_stride > 1:
+                    video = dataclasses.replace(
+                        video,
+                        features=video.features[:: self.frame_stride],
+                    )
+                yield video
 
     def _file_stream(self, rng: random.Random) -> Iterator[str]:
         """Epoch-concatenated (optionally per-epoch shuffled) file paths;
@@ -221,11 +235,13 @@ class FrameDataLoader:
         if all_padded:
             # native-parser videos arrive pre-padded: one block copy per
             # video, no batch-wide memset
-            features = np.empty((B, self.max_frames, self.total_size), np.uint8)
+            features = np.empty((B, self.feature_rows, self.total_size),
+                                np.uint8)
             if pad:
                 features[n:] = 0
         else:
-            features = np.zeros((B, self.max_frames, self.total_size), np.uint8)
+            features = np.zeros((B, self.feature_rows, self.total_size),
+                                np.uint8)
         labels = np.zeros((B, self.vocab_size), bool)
         num_frames = np.zeros((B,), np.int32)
         ids = []
@@ -234,7 +250,8 @@ class FrameDataLoader:
             if all_padded:
                 features[i] = v.features
             else:
-                features[i, :nf] = v.features[:nf]
+                rows = v.features.shape[0]  # already strided/capped
+                features[i, :rows] = v.features
             for c in v.labels:
                 if 0 <= c < self.vocab_size:
                     labels[i, c] = True

@@ -56,6 +56,7 @@ def _load():
             ctypes.c_int32,
             ctypes.c_int32,
             ctypes.c_int32,
+            ctypes.c_int32,  # stride
         ]
         lib.yt8m_next_batch.restype = ctypes.c_int32
         lib.yt8m_next_batch.argtypes = [
@@ -93,11 +94,15 @@ def read_frame_file(
     verify_crc: bool = False,
     batch: int = 32,
     labels_cap: int = 64,
+    stride: int = 1,
 ) -> Iterator[FrameVideo]:
     """Yield FrameVideo records via the native parser.
 
-    Features come back already padded to [max_frames, total]; num_frames
-    records the true (capped) count, matching readers.py:234.
+    Features come back already padded to [out_rows, total] where
+    out_rows = ceil(max_frames / stride); with stride > 1 only every
+    stride-th frame is decoded (the student paths' every_n — 1/stride
+    the parse memcpy bytes). num_frames records the true (capped)
+    ORIGINAL count, matching readers.py:234.
     """
     lib = _load()
     if lib is None:
@@ -109,7 +114,7 @@ def read_frame_file(
     total = sum(feature_sizes)
     reader = lib.yt8m_open(
         path.encode(), names, sizes, len(feature_names), max_frames,
-        1 if verify_crc else 0,
+        1 if verify_crc else 0, stride,
     )
     if not reader:
         raise IOError(f"cannot open {path}")
@@ -118,9 +123,10 @@ def read_frame_file(
         labels = np.empty((batch, labels_cap), np.int32)
         num_labels = np.empty((batch,), np.int32)
         ids = ctypes.create_string_buffer(batch * _ID_CAP)
+        out_rows = (max_frames + stride - 1) // stride
         while True:
             # fresh buffer per batch so the yielded views stay valid
-            feats = np.empty((batch, max_frames, total), np.uint8)
+            feats = np.empty((batch, out_rows, total), np.uint8)
             n = lib.yt8m_next_batch(
                 reader, batch,
                 feats.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -134,6 +134,8 @@ struct Yt8mReader {
   std::vector<int32_t> col_offsets;  // column offset per feature
   int32_t total_size = 0;
   int32_t max_frames = 0;
+  int32_t stride = 1;     // keep every stride-th frame (student paths)
+  int32_t out_rows = 0;   // ceil(max_frames / stride): rows per video
   bool verify_crc = false;
   std::string error;
   std::vector<uint8_t> record;  // reusable record buffer
@@ -235,13 +237,15 @@ extern "C" {
 
 Yt8mReader* yt8m_open(const char* path, const char* const* names,
                       const int32_t* sizes, int32_t nfeat, int32_t max_frames,
-                      int32_t verify_crc) {
+                      int32_t verify_crc, int32_t stride) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
   setvbuf(f, nullptr, _IOFBF, 1 << 20);
   auto* r = new Yt8mReader();
   r->f = f;
   r->max_frames = max_frames;
+  r->stride = stride < 1 ? 1 : stride;
+  r->out_rows = (max_frames + r->stride - 1) / r->stride;
   r->verify_crc = verify_crc != 0;
   int32_t off = 0;
   for (int32_t i = 0; i < nfeat; i++) {
@@ -356,10 +360,13 @@ int32_t yt8m_next(Yt8mReader* r, uint8_t* feat_out, int32_t* num_frames_out,
               if ((ltag >> 3) == 1 && (ltag & 7) == 2) {  // Feature
                 uint64_t ln = fl.varint();
                 Cursor feat = fl.slice(ln);
-                if (frame < r->max_frames) {
+                if (frame < r->max_frames && frame % r->stride == 0) {
+                  // student paths parse only the kept every-stride-th
+                  // frames: 1/stride the memcpy bytes
                   StringView bytes = feature_first_bytes(feat);
                   if (bytes.p && int32_t(bytes.n) == size) {
-                    memcpy(feat_out + size_t(frame) * r->total_size + col,
+                    memcpy(feat_out +
+                               size_t(frame / r->stride) * r->total_size + col,
                            bytes.p, size);
                   } else if (bytes.p) {
                     r->fail("frame feature size mismatch");
@@ -395,11 +402,14 @@ int32_t yt8m_next(Yt8mReader* r, uint8_t* feat_out, int32_t* num_frames_out,
 
   if (num_frames < 0) num_frames = 0;
   if (num_frames > r->max_frames) num_frames = r->max_frames;
+  // num_frames reports the ORIGINAL (capped) count even under stride —
+  // the consumers' seq-length math runs on original frame counts
   *num_frames_out = num_frames;
-  // zero the padding rows
-  if (num_frames < r->max_frames)
-    memset(feat_out + size_t(num_frames) * r->total_size, 0,
-           size_t(r->max_frames - num_frames) * r->total_size);
+  // zero the padding rows of the (possibly strided) output
+  const int32_t kept = (num_frames + r->stride - 1) / r->stride;
+  if (kept < r->out_rows)
+    memset(feat_out + size_t(kept) * r->total_size, 0,
+           size_t(r->out_rows - kept) * r->total_size);
 
   int32_t nl = 0;
   for (int64_t l : labels)
@@ -419,7 +429,7 @@ int32_t yt8m_next_batch(Yt8mReader* r, int32_t n, uint8_t* feat_out,
                         int32_t* num_frames_out, int32_t* labels_out,
                         int32_t labels_cap, int32_t* num_labels_out,
                         char* ids_out, int32_t id_cap) {
-  const size_t feat_stride = size_t(r->max_frames) * r->total_size;
+  const size_t feat_stride = size_t(r->out_rows) * r->total_size;
   int32_t count = 0;
   while (count < n) {
     int32_t rc = yt8m_next(r, feat_out + count * feat_stride,

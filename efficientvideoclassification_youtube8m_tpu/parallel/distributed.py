@@ -180,11 +180,11 @@ def sync_host_streams(loader, mode: str = "train"):
     from efficientvideoclassification_youtube8m_tpu.data.loader import FrameBatch
 
     def dummy_batch():
+        rows = getattr(loader, "feature_rows", loader.max_frames)
         return FrameBatch(
             video_ids=[""] * loader.batch_size,
             features=np.zeros(
-                (loader.batch_size, loader.max_frames, loader.total_size),
-                np.uint8,
+                (loader.batch_size, rows, loader.total_size), np.uint8
             ),
             labels=np.zeros((loader.batch_size, loader.vocab_size), bool),
             num_frames=np.ones((loader.batch_size,), np.int32),

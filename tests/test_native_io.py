@@ -92,3 +92,53 @@ def test_native_is_faster_than_python(tmp_path):
     t_py = time.perf_counter() - t0
     assert n_nat == n_py == 60
     assert t_nat < t_py
+
+
+def test_native_stride_matches_python_stride(shard):
+    """Parser-level frame stride (the student paths' every_n): the C++
+    parser decodes only every stride-th frame; rows equal the Python
+    parse strided with [::stride], num_frames stays the ORIGINAL count,
+    and padding rows are zero."""
+    path, truth = shard
+    for stride in (2, 3, 7):
+        out_rows = (30 + stride - 1) // stride
+        py_videos = list(read_frame_file(path, ("rgb", "audio"), (16, 4), 30))
+        nat_videos = list(native.read_frame_file(
+            path, ("rgb", "audio"), (16, 4), 30, stride=stride))
+        assert len(py_videos) == len(nat_videos)
+        for pv, nv in zip(py_videos, nat_videos):
+            assert nv.features.shape == (out_rows, 20)
+            assert nv.num_frames == pv.num_frames  # original count
+            want = pv.features[::stride]
+            np.testing.assert_array_equal(nv.features[: want.shape[0]], want)
+            assert np.all(nv.features[want.shape[0]:] == 0)
+
+
+def test_loader_frame_stride_matches_host_subsample(shard):
+    """FrameDataLoader(frame_stride=e) batches equal striding the
+    full-frame batches on the host — for BOTH parser backends."""
+    from efficientvideoclassification_youtube8m_tpu.data.loader import (
+        FrameDataLoader,
+    )
+    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+        host_subsample,
+    )
+
+    path, _ = shard
+    for use_native in (True, False):
+        kw = dict(
+            batch_size=5, feature_names=("rgb", "audio"),
+            feature_sizes=(16, 4), max_frames=30, vocab_size=100,
+            num_epochs=1, shuffle=False, pad_final_batch=True,
+            use_native=use_native,
+        )
+        full = list(FrameDataLoader(path, **kw))
+        strided = list(FrameDataLoader(path, frame_stride=3, **kw))
+        assert len(full) == len(strided)
+        for fb, sb in zip(full, strided):
+            assert sb.features.shape[1] == 10  # ceil(30 / 3)
+            np.testing.assert_array_equal(
+                sb.features, host_subsample(fb.features, 3))
+            np.testing.assert_array_equal(sb.num_frames, fb.num_frames)
+            np.testing.assert_array_equal(sb.labels, fb.labels)
+            assert sb.pad == fb.pad
