@@ -107,7 +107,7 @@ def evaluate(args):
     )
     step_fn = build_sharded_eval_step(
         cfg, mesh, template.params_student, top_k=args.top_k,
-        host_subsampled=True,  # the eval loop strides frames on the host
+        host_subsampled=True,  # the loader strides frames at the parser
     )
     writer = summary_lib.for_master(
         os.path.join(cfg.train_dir, "eval"), host.is_master

@@ -39,7 +39,8 @@ _STOP = object()
 @dataclasses.dataclass
 class FrameBatch:
     video_ids: List[str]
-    features: np.ndarray  # [B, max_frames, total_size] uint8 (zero-padded)
+    features: np.ndarray  # [B, feature_rows, total_size] uint8 (zero-
+    # padded); feature_rows = ceil(max_frames / frame_stride)
     labels: np.ndarray  # [B, vocab] bool
     num_frames: np.ndarray  # [B] int32
     pad: int = 0  # trailing rows that are padding (eval tail batches)
@@ -133,9 +134,13 @@ class FrameDataLoader:
                     record, self.feature_names, self.feature_sizes, self.max_frames
                 )
                 if self.frame_stride > 1:
+                    # contiguous copy: a strided VIEW would pin the full
+                    # [max_frames, D] buffer in the shuffle queue
                     video = dataclasses.replace(
                         video,
-                        features=video.features[:: self.frame_stride],
+                        features=np.ascontiguousarray(
+                            video.features[:: self.frame_stride]
+                        ),
                     )
                 yield video
 

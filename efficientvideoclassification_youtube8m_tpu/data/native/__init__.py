@@ -107,6 +107,7 @@ def read_frame_file(
     lib = _load()
     if lib is None:
         raise RuntimeError("native parser unavailable")
+    stride = max(1, stride)  # mirror the C++ clamp
     names = (ctypes.c_char_p * len(feature_names))(
         *[n.encode() for n in feature_names]
     )

@@ -360,17 +360,19 @@ int32_t yt8m_next(Yt8mReader* r, uint8_t* feat_out, int32_t* num_frames_out,
               if ((ltag >> 3) == 1 && (ltag & 7) == 2) {  // Feature
                 uint64_t ln = fl.varint();
                 Cursor feat = fl.slice(ln);
-                if (frame < r->max_frames && frame % r->stride == 0) {
-                  // student paths parse only the kept every-stride-th
-                  // frames: 1/stride the memcpy bytes
+                if (frame < r->max_frames) {
+                  // every frame's payload size is still VALIDATED (the
+                  // pure-Python parser rejects corrupt frames too); the
+                  // stride only skips the memcpy of dropped frames
                   StringView bytes = feature_first_bytes(feat);
-                  if (bytes.p && int32_t(bytes.n) == size) {
+                  if (bytes.p && int32_t(bytes.n) != size) {
+                    r->fail("frame feature size mismatch");
+                    return -1;
+                  }
+                  if (bytes.p && frame % r->stride == 0) {
                     memcpy(feat_out +
                                size_t(frame / r->stride) * r->total_size + col,
                            bytes.p, size);
-                  } else if (bytes.p) {
-                    r->fail("frame feature size mismatch");
-                    return -1;
                   }
                 }
                 frame++;

@@ -37,7 +37,8 @@ class FrameVideo:
     labels: List[int]
     features: np.ndarray  # [num_frames(<=max), total_feature_size] uint8
     num_frames: int  # min(true frames, max_frames)
-    # True when `features` is already zero-padded to [max_frames, total]
+    # True when `features` is already zero-padded to its full row count
+    # ([max_frames, total], or [ceil(max_frames/stride), total] strided)
     # (the native parser's output) — lets the batch assembler copy one
     # contiguous block instead of memset + row-slice copy
     padded: bool = False
