@@ -15,7 +15,10 @@ import time
 import numpy as np
 
 from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
-from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.data import (
+    AggregatedDataLoader,
+    FrameDataLoader,
+)
 from efficientvideoclassification_youtube8m_tpu.metrics import EvaluationMetrics
 from efficientvideoclassification_youtube8m_tpu.train import (
     init_distill_state,
@@ -37,7 +40,9 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
     )
 
     evl_metrics = EvaluationMetrics(cfg.num_classes, args.top_k)
-    loader = FrameDataLoader(
+    aggregated = not args.frame_features
+    loader_cls = AggregatedDataLoader if aggregated else FrameDataLoader
+    loader = loader_cls(
         args.eval_data_pattern,
         batch_size=host.local_batch_size,
         feature_names=cfg.feature_names_list,
@@ -51,10 +56,10 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         num_shards=host.process_count,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
-        # the student never reads the dropped frames: stride at the
-        # PARSER (1/every_n the decode AND H2D bytes; the step is built
-        # with host_subsampled=True)
-        frame_stride=cfg.every_n,
+        # frame path: the student never reads the dropped frames — stride
+        # at the PARSER (1/every_n the decode AND H2D bytes; the step is
+        # built with host_subsampled=True)
+        frame_stride=1 if aggregated else cfg.every_n,
     )
 
     examples_processed = 0
@@ -105,9 +110,11 @@ def evaluate(args):
         ),
         mesh, _PLACED,
     )
+    aggregated = not args.frame_features
     step_fn = build_sharded_eval_step(
         cfg, mesh, template.params_student, top_k=args.top_k,
-        host_subsampled=True,  # the loader strides frames at the parser
+        # frame path: the loader strides frames at the parser
+        host_subsampled=not aggregated, aggregated=aggregated,
     )
     writer = summary_lib.for_master(
         os.path.join(cfg.train_dir, "eval"), host.is_master

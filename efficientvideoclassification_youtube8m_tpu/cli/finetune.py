@@ -13,7 +13,10 @@ import sys
 import time
 
 from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
-from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.data import (
+    AggregatedDataLoader,
+    FrameDataLoader,
+)
 from efficientvideoclassification_youtube8m_tpu.metrics import train_step_metrics
 from efficientvideoclassification_youtube8m_tpu.train import (
     init_distill_state,
@@ -75,15 +78,20 @@ def finetune(args):
                                             "model_student"))
 
     mesh = create_mesh(model=args.model_parallelism)
-    # frames are strided on the host below: 1/every_n the H2D bytes
+    # --frame_features=False: pre-aggregated Examples, video-level model
+    # applied directly (train_finetune.py:514-518 reader selection);
+    # frame path: frames are strided on the host below (1/every_n the
+    # H2D bytes)
+    aggregated = not args.frame_features
     if args.use_shardmap_train:
         step_fn = build_shardmap_finetune_step(
-            cfg, optimizer, mesh, top_k=args.top_k, host_subsampled=True
+            cfg, optimizer, mesh, top_k=args.top_k,
+            host_subsampled=not aggregated, aggregated=aggregated,
         )
     else:
         step_fn = build_sharded_finetune_step(
             cfg, optimizer, mesh, template, top_k=args.top_k,
-            host_subsampled=True
+            host_subsampled=not aggregated, aggregated=aggregated,
         )
     # place BEFORE restoring (see cli/train.py): orbax reads each shard
     # onto its device; the re-place no-ops for global arrays and places
@@ -93,7 +101,8 @@ def finetune(args):
         logger.info("Resuming student from %s", ckpt)
         state = place_state(restore_checkpoint(ckpt, state), mesh)
 
-    loader = FrameDataLoader(
+    loader_cls = AggregatedDataLoader if aggregated else FrameDataLoader
+    loader = loader_cls(
         cfg.train_data_pattern,
         batch_size=host.local_batch_size,
         feature_names=cfg.feature_names_list,
@@ -109,9 +118,9 @@ def finetune(args):
         drop_remainder=True,  # static shapes, no fabricated rows
         use_native=cfg.use_native_io,
         bagging=args.bagging,
-        # student-only training: parse/move only the kept every_n-th
-        # frames (the step is built with host_subsampled=True)
-        frame_stride=cfg.every_n,
+        # student-only frame training: parse/move only the kept
+        # every_n-th frames (the step is built with host_subsampled=True)
+        frame_stride=1 if aggregated else cfg.every_n,
     )
     writer = summary_lib.for_master(cfg.train_dir, host.is_master)
     last_save = time.time()

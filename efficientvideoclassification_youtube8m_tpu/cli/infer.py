@@ -18,7 +18,10 @@ import time
 import numpy as np
 
 from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
-from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
+from efficientvideoclassification_youtube8m_tpu.data import (
+    AggregatedDataLoader,
+    FrameDataLoader,
+)
 from efficientvideoclassification_youtube8m_tpu.ensemble import (
     format_lines,
     write_predictions_csv,
@@ -79,11 +82,16 @@ def inference(args):
         params = rescale_bias_param(params, args.tensor_name, args.alpha_bias)
 
     mesh = create_mesh(model=args.model_parallelism)
-    # frames are strided on the host below: 1/every_n the H2D bytes
+    # --frame_features=False selects the aggregated reader like
+    # inference_bias.py:195-199; frame path strides frames on the host
+    # (1/every_n the H2D bytes)
+    aggregated = not args.frame_features
     step_fn = build_sharded_eval_step(cfg, mesh, params, top_k=args.top_k,
-                                      host_subsampled=True)
+                                      host_subsampled=not aggregated,
+                                      aggregated=aggregated)
 
-    loader = FrameDataLoader(
+    loader_cls = AggregatedDataLoader if aggregated else FrameDataLoader
+    loader = loader_cls(
         args.input_data_pattern,
         batch_size=cfg.batch_size,
         feature_names=cfg.feature_names_list,
@@ -95,7 +103,8 @@ def inference(args):
         shuffle=False,
         pad_final_batch=True,
         use_native=cfg.use_native_io,
-        frame_stride=cfg.every_n,  # parse/move only the kept frames
+        # frame path: parse/move only the kept frames
+        frame_stride=1 if aggregated else cfg.every_n,
     )
 
     def rows():

@@ -46,6 +46,18 @@ def train(args) -> None:
     # (reference worker dispatch, train.py:704-733)
     distributed.initialize()
     cfg = flags_lib.config_from_args(args)
+    if not args.frame_features:
+        # the reference's train.py accepts the flag (train.py:620-624
+        # selects YT8MAggregatedFeatureReader) but its graph build then
+        # fails on the rank-2 aggregated input (the student frame-subsample
+        # transpose, train.py:268) — distillation structurally needs frame
+        # features. Surface that clearly instead of a shape error.
+        raise ValueError(
+            "--frame_features=False: the teacher-student distillation "
+            "trainer requires frame-level features. Train video-level "
+            "models on aggregated Examples with "
+            "cli.finetune --frame_features=False --start_new_model."
+        )
     host = distributed.host_context(cfg.batch_size)
     if host.multi_host:
         logger.info(

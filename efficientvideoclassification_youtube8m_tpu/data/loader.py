@@ -273,6 +273,14 @@ class AggregatedBatch:
     labels: np.ndarray  # [B, vocab] bool
     pad: int = 0
 
+    @property
+    def num_frames(self) -> np.ndarray:
+        """All-ones placeholder, like the aggregated reader's
+        `tf.ones([...])` fourth output (readers.py:112) — lets aggregated
+        batches ride the same (features, labels, num_frames) step/prefetch
+        plumbing as frame batches; the aggregated step ignores it."""
+        return np.ones((self.features.shape[0],), np.int32)
+
 
 class AggregatedDataLoader(FrameDataLoader):
     """Video-level (pre-aggregated Example) loader — the rebuild of

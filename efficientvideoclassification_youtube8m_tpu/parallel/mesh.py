@@ -123,7 +123,8 @@ def shard_batch(mesh: Mesh, features, labels, num_frames):
     is assembled with `jax.make_array_from_process_local_data` — the
     local rows stay on the local devices and only metadata crosses DCN.
     """
-    fs = NamedSharding(mesh, P(DATA_AXIS, None, None))
+    # frame batches are [B, T, D]; aggregated video-level batches [B, D]
+    fs = NamedSharding(mesh, P(DATA_AXIS, *([None] * (features.ndim - 1))))
     ls = NamedSharding(mesh, P(DATA_AXIS, None))
     ns = NamedSharding(mesh, P(DATA_AXIS))
     if jax.process_count() > 1:

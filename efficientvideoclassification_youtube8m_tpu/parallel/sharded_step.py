@@ -29,8 +29,10 @@ from efficientvideoclassification_youtube8m_tpu.train.step import (
 from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 
 
-def _batch_shardings(mesh: Mesh):
-    fs = NamedSharding(mesh, P(DATA_AXIS, None, None))
+def _batch_shardings(mesh: Mesh, feature_ndim: int = 3):
+    """feature_ndim=3 for frame batches [B, T, D]; 2 for aggregated
+    video-level batches [B, D]."""
+    fs = NamedSharding(mesh, P(DATA_AXIS, *([None] * (feature_ndim - 1))))
     ls = NamedSharding(mesh, P(DATA_AXIS, None))
     ns = NamedSharding(mesh, P(DATA_AXIS))
     return fs, ls, ns
@@ -122,11 +124,13 @@ def build_sharded_finetune_step(
     top_k: int = 20,
     min_dim: int = 4200,
     host_subsampled: bool = False,
+    aggregated: bool = False,
 ):
     step = build_finetune_step(cfg, optimizer, top_k,
-                               host_subsampled=host_subsampled)
+                               host_subsampled=host_subsampled,
+                               aggregated=aggregated)
     st_shard = state_sharding(state_template, mesh, min_dim)
-    fs, ls, ns = _batch_shardings(mesh)
+    fs, ls, ns = _batch_shardings(mesh, feature_ndim=2 if aggregated else 3)
     return jax.jit(
         step,
         in_shardings=(st_shard, fs, ls, ns),
@@ -163,18 +167,20 @@ def build_sharded_eval_step(
     top_k: int = 20,
     min_dim: int = 4200,
     host_subsampled: bool = False,
+    aggregated: bool = False,
 ):
-    step = build_eval_step(cfg, top_k, host_subsampled=host_subsampled)
+    step = build_eval_step(cfg, top_k, host_subsampled=host_subsampled,
+                           aggregated=aggregated)
     model_size = mesh.shape.get("model", 1)
     ps_shard = to_named(
         shard_state_specs(params_student_template, model_size, min_dim), mesh
     )
-    fs, ls, ns = _batch_shardings(mesh)
+    fs, ls, ns = _batch_shardings(mesh, feature_ndim=2 if aggregated else 3)
     return jax.jit(step, in_shardings=(ps_shard, fs, ls, ns),
                    out_shardings=_eval_metric_shardings(mesh))
 
 
-def _shardmap_train(step, mesh, metric_scalars):
+def _shardmap_train(step, mesh, metric_scalars, feature_ndim: int = 3):
     """shard_map a per-device train step (built with axis_name=DATA_AXIS):
     replicated state in/out, batch sharded over "data", topk concatenated.
 
@@ -188,7 +194,7 @@ def _shardmap_train(step, mesh, metric_scalars):
 
     in_specs = (
         P(),  # state: replicated
-        P(DATA_AXIS, None, None),  # features
+        P(DATA_AXIS, *([None] * (feature_ndim - 1))),  # features
         P(DATA_AXIS, None),  # labels
         P(DATA_AXIS),  # num_frames
     )
@@ -219,15 +225,17 @@ def build_shardmap_distill_step(
 
 def build_shardmap_finetune_step(
     cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20,
-    host_subsampled: bool = False,
+    host_subsampled: bool = False, aggregated: bool = False,
 ):
     """Data-parallel student-only TRAIN step via shard_map."""
     if mesh.shape.get("model", 1) != 1:
         raise ValueError("shard_map train path is data-parallel only")
     step = build_finetune_step(cfg, optimizer, top_k, axis_name=DATA_AXIS,
-                               host_subsampled=host_subsampled)
+                               host_subsampled=host_subsampled,
+                               aggregated=aggregated)
     return _shardmap_train(
-        step, mesh, ("student_label_loss", "student_reg_loss")
+        step, mesh, ("student_label_loss", "student_reg_loss"),
+        feature_ndim=2 if aggregated else 3,
     )
 
 

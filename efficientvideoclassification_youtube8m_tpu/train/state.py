@@ -51,13 +51,21 @@ def init_distill_state(
     rng = jax.random.PRNGKey(cfg.seed) if rng is None else rng
     kt, ks = jax.random.split(rng)
     model = get_model(cfg.model)
+    classifier_kwargs = (
+        {"num_mixtures": cfg.moe_num_mixtures}
+        if cfg.video_level_classifier_model == "MoeModel"
+        else {"num_hidden_units": cfg.num_hidden_units}
+    )
     kwargs = dict(
         lstm_cells=cfg.lstm_cells,
         lstm_layers=cfg.lstm_layers,
         classifier=cfg.video_level_classifier_model,
-        classifier_kwargs={"num_mixtures": cfg.moe_num_mixtures}
-        if cfg.video_level_classifier_model == "MoeModel"
-        else {"num_hidden_units": cfg.num_hidden_units},
+        classifier_kwargs=classifier_kwargs,
+        # flattened for when cfg.model IS a video-level head (the
+        # --frame_features=False aggregated path): its init reads these
+        # directly; frame models swallow them via **_
+        num_mixtures=cfg.moe_num_mixtures,
+        num_hidden_units=cfg.num_hidden_units,
     )
     if cfg.model == "DbofModel":
         # DBoF sizing flags (frame_level_models.py:119-124); every init

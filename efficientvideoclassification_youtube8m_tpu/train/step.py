@@ -179,6 +179,75 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
     )
 
 
+# models whose apply contract is [B, T, D] frame input (models/frame_level.py)
+_FRAME_LEVEL_MODELS = frozenset({
+    "HierarchicalLstmModel", "FrameLevelLogisticModel", "DbofModel",
+    "NetVLADModel", "NeXtVLADModel",
+})
+
+
+def forward_video_level(cfg: TrainConfig, params, model_input, labels=None,
+                        inference: bool = False, dropout_keep_prob=1.0,
+                        rng=None):
+    """Aggregated-feature forward: the reference's `--frame_features=False`
+    branch applies the flag-selected model DIRECTLY to the [B, D]
+    pre-aggregated Example features (train_finetune.py:514-518 selecting
+    `YT8MAggregatedFeatureReader`, readers.py:53-112) — video-level heads
+    (LogisticModel, MoeModel, ...) resolve through the same registry the
+    frame models use."""
+    if cfg.model in _FRAME_LEVEL_MODELS:
+        raise ValueError(
+            f"--frame_features=False feeds [batch, {model_input.shape[-1]}] "
+            f"aggregated features, but --model={cfg.model} is a frame-level "
+            "model; pick a video-level head (LogisticModel, MoeModel, ...) "
+            "or use frame-feature shards"
+        )
+    model = get_model(cfg.model)
+    kw: Dict[str, Any] = {
+        "compute_dtype": jnp.bfloat16
+        if cfg.compute_dtype == "bfloat16"
+        else jnp.float32,
+        "is_training": not inference,
+    }
+    if cfg.video_level_classifier_model == "MoeModel" or cfg.model == "MoeModel":
+        kw["num_mixtures"] = cfg.moe_num_mixtures
+    else:
+        kw["num_hidden_units"] = cfg.num_hidden_units
+    return model.apply(
+        params,
+        model_input,
+        vocab_size=cfg.num_classes,
+        labels=labels,
+        dropout_keep_prob=dropout_keep_prob,
+        rng=rng,
+        **kw,
+    )
+
+
+def preprocess_aggregated(features) -> jax.Array:
+    """[B, D] float32 aggregated features -> l2-normalized model input.
+
+    The reference graph l2-normalizes `model_input_raw` along its LAST
+    axis regardless of reader (`feature_dim = len(shape) - 1`,
+    train_finetune.py:242-244, eval_finetune.py:134-137) — for the
+    aggregated reader's rank-2 output that is axis 1. The features are
+    already float averages of dequantized values (readers.py:56-59), so
+    there is no dequantize stage."""
+    return l2_normalize(jnp.asarray(features, jnp.float32), axis=1)
+
+
+def _video_level_label_loss(out, labels, label_loss_fn):
+    """Model-supplied loss if present (e.g. SplitSingleHiddenLayerModel),
+    else the flag loss; matrix-valued model losses train on their sum
+    (what slim's create_train_op effectively reduces)."""
+    loss = out.get("loss")
+    if loss is None:
+        return label_loss_fn(out["predictions"], labels)
+    if getattr(loss, "ndim", 0) > 0:
+        loss = jnp.sum(loss)
+    return loss
+
+
 _NON_TRAINABLE_STATS = ("moving_mean", "moving_var")
 
 
@@ -378,7 +447,8 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
 
 def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
                         axis_name: Optional[str] = None,
-                        host_subsampled: bool = False):
+                        host_subsampled: bool = False,
+                        aggregated: bool = False):
     """Student-only training: CE + reg (train_finetune.py:263-331).
 
     With `axis_name`, a per-device shard_map program: both loss terms are
@@ -386,7 +456,13 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
     1/n_devices and the local grads psum'd (see build_distill_train_step).
 
     `host_subsampled`: frames were strided to every_n on the HOST
-    (1/every_n the H2D bytes); `num_frames` stays the ORIGINAL count."""
+    (1/every_n the H2D bytes); `num_frames` stays the ORIGINAL count.
+
+    `aggregated`: the `--frame_features=False` branch — features arrive
+    [B, D] float32 from pre-aggregated Examples and the (video-level)
+    model is applied directly: no dequantize, no frame subsampling
+    (train_finetune.py:514-518 + readers.py:53-112); `num_frames` is the
+    reader's all-ones placeholder (readers.py:112) and is ignored."""
     schedule = exponential_decay(
         cfg.base_learning_rate,
         cfg.batch_size,
@@ -397,14 +473,21 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
     label_loss_fn = resolve_label_loss(cfg)
 
     def loss_fn(params_s, model_input_s, nf_student, labels, keep_prob, rng):
-        out_s = forward_student(
-            cfg, params_s, model_input_s, nf_student, labels,
-            dropout_keep_prob=keep_prob, rng=rng,
-            bn_axis_name=axis_name if cfg.sync_batch_norm else None,
-        )
-        label_loss = out_s.get("loss")
-        if label_loss is None:
-            label_loss = label_loss_fn(out_s["predictions"], labels)
+        if aggregated:
+            out_s = forward_video_level(
+                cfg, params_s, model_input_s, labels,
+                dropout_keep_prob=keep_prob, rng=rng,
+            )
+            label_loss = _video_level_label_loss(out_s, labels, label_loss_fn)
+        else:
+            out_s = forward_student(
+                cfg, params_s, model_input_s, nf_student, labels,
+                dropout_keep_prob=keep_prob, rng=rng,
+                bn_axis_name=axis_name if cfg.sync_batch_norm else None,
+            )
+            label_loss = out_s.get("loss")
+            if label_loss is None:
+                label_loss = label_loss_fn(out_s["predictions"], labels)
         reg = out_s.get("regularization_loss", 0.0)
         total = cfg.regularization_penalty * reg + label_loss
         if axis_name is not None:
@@ -413,14 +496,19 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
                        out_s.get("updated_params"))
 
     def step(state: StudentState, features_u8, labels, num_frames):
-        # student-only path: subsample the uint8 frames FIRST, then
-        # dequantize/l2-normalize only the kept 1/every_n — identical
-        # results (the ops are per-frame and the LSTM freezes past
-        # nf_student), ~10x less preprocess work
-        nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
-        sub = (features_u8 if host_subsampled
-               else uniform_subsample(features_u8, cfg.every_n))
-        model_input_s = preprocess_batch(cfg, sub, nf_student)
+        if aggregated:
+            nf_student = None
+            model_input_s = preprocess_aggregated(features_u8)
+        else:
+            # student-only path: subsample the uint8 frames FIRST, then
+            # dequantize/l2-normalize only the kept 1/every_n — identical
+            # results (the ops are per-frame and the LSTM freezes past
+            # nf_student), ~10x less preprocess work
+            nf_student = student_num_frames(num_frames, cfg.every_n,
+                                            cfg.max_num_frames)
+            sub = (features_u8 if host_subsampled
+                   else uniform_subsample(features_u8, cfg.every_n))
+            model_input_s = preprocess_batch(cfg, sub, nf_student)
 
         rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.global_step)
         if axis_name is not None:
@@ -524,24 +612,35 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
 
 def build_eval_step(cfg: TrainConfig, top_k: int = 20,
                     pallas_override: Optional[bool] = None,
-                    host_subsampled: bool = False):
+                    host_subsampled: bool = False,
+                    aggregated: bool = False):
     """Student-only eval (eval_finetune.py:108-176).
 
     `host_subsampled`: the caller already strided the uint8 frames to
     every_n on the HOST (1/every_n the host->device bytes — the student
     never reads the dropped frames); features arrive [B, T//every_n, D]
-    and `num_frames` stays the ORIGINAL count."""
+    and `num_frames` stays the ORIGINAL count.
+
+    `aggregated`: the `--frame_features=False` branch — [B, D] float32
+    pre-aggregated features straight into the video-level model
+    (eval_finetune.py:298-302 + readers.py:53-112)."""
 
     def step(params_student, features_u8, labels, num_frames):
-        # subsample uint8 first: only the kept frames are preprocessed
-        nf_student = student_num_frames(num_frames, cfg.every_n, cfg.max_num_frames)
-        sub = (features_u8 if host_subsampled
-               else uniform_subsample(features_u8, cfg.every_n))
-        model_input_s = preprocess_batch(cfg, sub, nf_student)
-        _, rng_s = _faithful_eval_rngs(cfg, num_frames)
-        out_s = forward_student(cfg, params_student, model_input_s, nf_student,
-                                labels, inference=True, rng=rng_s,
-                                pallas_override=pallas_override)
+        if aggregated:
+            model_input_s = preprocess_aggregated(features_u8)
+            out_s = forward_video_level(cfg, params_student, model_input_s,
+                                        labels, inference=True)
+        else:
+            # subsample uint8 first: only the kept frames are preprocessed
+            nf_student = student_num_frames(num_frames, cfg.every_n,
+                                            cfg.max_num_frames)
+            sub = (features_u8 if host_subsampled
+                   else uniform_subsample(features_u8, cfg.every_n))
+            model_input_s = preprocess_batch(cfg, sub, nf_student)
+            _, rng_s = _faithful_eval_rngs(cfg, num_frames)
+            out_s = forward_student(cfg, params_student, model_input_s,
+                                    nf_student, labels, inference=True,
+                                    rng=rng_s, pallas_override=pallas_override)
         eps = 10e-6
         fl = labels.astype(jnp.float32)
         per_example_loss = -jnp.sum(
