@@ -70,18 +70,26 @@ def save_checkpoint(
         ckptr.wait_until_finished()  # StandardCheckpointer saves async
     elif backend == "msgpack":
         path = os.path.join(train_dir, f"{_PREFIX}-{step}.msgpack")
+        # Run the shardedness check on EVERY process (before the master's
+        # early non-master return) so an unsupported state raises on all
+        # hosts together — a master-only raise would leave the other
+        # processes stepping into the next collective and deadlock the
+        # cluster. `device_get` works for fully-REPLICATED global arrays
+        # (the multi-host DP case: every host holds a full copy) even
+        # though they are not fully addressable on a multi-process mesh.
+        not_fetchable = [
+            x for x in jax.tree.leaves(state)
+            if isinstance(x, jax.Array)
+            and not (x.is_fully_addressable or x.is_fully_replicated)
+        ]
+        if not_fetchable:
+            raise ValueError(
+                "msgpack checkpoints need the full state on this host; "
+                f"{len(not_fetchable)} leaves are sharded across "
+                "hosts — use --checkpoint_format orbax for multi-host "
+                "sharded state"
+            )
         if is_master:
-            not_addressable = [
-                x for x in jax.tree.leaves(state)
-                if isinstance(x, jax.Array) and not x.is_fully_addressable
-            ]
-            if not_addressable:
-                raise ValueError(
-                    "msgpack checkpoints need the full state on this host; "
-                    f"{len(not_addressable)} leaves are sharded across "
-                    "hosts — use --checkpoint_format orbax for multi-host "
-                    "sharded state"
-                )
             state = jax.device_get(state)
             tmp = path + ".tmp"
             with open(tmp, "wb") as f:

@@ -214,6 +214,22 @@ def import_distill_state(prefix: str, template: Any) -> Any:
     )
 
 
+def _student_power_ordinal(reader: TFCheckpointReader) -> int:
+    """Which beta1_power variable pairs with the student's Adam slots.
+
+    A finetune graph builds ONE optimizer (train_finetune.py:231), so the
+    student's power is `beta1_power` (ordinal 0). A DISTILL graph builds
+    the teacher's optimizer first (train.py:332,416), so there the
+    student's lives in `beta1_power_1` — restoring a distill bundle into
+    a StudentState with ordinal 0 would recover the TEACHER's step count
+    and skew the student's Adam bias correction."""
+    for name in ("beta1_power_1", "model/beta1_power_1",
+                 "model_student/beta1_power_1"):
+        if reader.has_tensor(name):
+            return 1
+    return 0
+
+
 def import_student_state(prefix: str, template: Any) -> Any:
     """Reference finetune/inference checkpoint -> StudentState."""
     reader = TFCheckpointReader(prefix)
@@ -222,7 +238,7 @@ def import_student_state(prefix: str, template: Any) -> Any:
     )
     params_student = _load_tree(reader, s_tree, template.params_student)
     opt_student = _import_optimizer_slots(
-        reader, s_tree, template.opt_student, 0
+        reader, s_tree, template.opt_student, _student_power_ordinal(reader)
     )
     return template.replace(
         params_student=params_student,

@@ -202,6 +202,36 @@ np.testing.assert_array_equal(
 )
 assert int(np.asarray(restored.global_step)) == 2
 
+# --- multi-host msgpack save: replicated DP state, master-only write ----
+# Regression for the r2 advisor finding: `is_fully_addressable` is False
+# for EVERY jax.Array on a multi-process mesh, so the old gate rejected
+# fully-REPLICATED DP state (the documented msgpack contract) and only
+# the master raised — cluster deadlock. Fully-replicated leaves must
+# save fine from every process.
+mpath = save_checkpoint(ckpt_dir, restored, 3, backend="msgpack")
+multihost_utils.sync_global_devices("msgpack_written")
+assert os.path.exists(mpath), mpath
+r2 = restore_checkpoint(mpath, jax.device_get(init_distill_state(cfg, opt)))
+assert int(np.asarray(r2.global_step)) == 2
+
+# ...and a CROSS-HOST-sharded state raises on BOTH processes (not just
+# the master) so the failure is a clean crash, not a hang.
+from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
+
+sharded_leaf = jax.device_put(
+    np.arange(jax.device_count() * 4, dtype=np.float32),
+    NamedSharding(mesh, PartitionSpec("data")),
+)
+if not sharded_leaf.is_fully_addressable:
+    try:
+        save_checkpoint(ckpt_dir, {"x": sharded_leaf}, 4, backend="msgpack")
+    except ValueError as e:
+        assert "orbax" in str(e)
+    else:
+        raise AssertionError(
+            "sharded msgpack save should raise on every process")
+multihost_utils.sync_global_devices("msgpack_sharded_checked")
+
 # --- the FULL cli.validate binary, 2 processes end-to-end ---------------
 # (loader sharding, host-stream sync, gather_step_outputs, master-only
 # summaries, broadcast-elected checkpoint — the whole multi-host eval

@@ -213,6 +213,25 @@ def test_import_distill_state_full(tmp_path):
     )
 
 
+def test_import_student_state_from_distill_bundle_adam_count(tmp_path):
+    """Restoring a DISTILL bundle straight into a StudentState (e.g.
+    cli.finetune resuming from a reference distill train_dir) must pair
+    the student's Adam slots with `beta1_power_1` (t=9 in the fixture),
+    not the teacher's `beta1_power` (t=5)."""
+    import jax
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    golden = init_distill_state(cfg, opt)
+    prefix, _ = _save_tf_fixture(tmp_path, golden, global_step=84)
+
+    template = student_state_from_distill(
+        init_distill_state(cfg, opt, rng=jax.random.PRNGKey(5)), opt
+    )
+    restored = restore_checkpoint(prefix, template)
+    assert int(restored.opt_student.count) == 9
+
+
 def test_import_student_state_without_adam(tmp_path):
     import jax
 
