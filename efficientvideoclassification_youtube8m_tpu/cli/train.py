@@ -148,18 +148,24 @@ def train(args) -> None:
         writer.flush()
 
     def log_step(metrics, labels, seconds_per_batch):
-        """Host-side metrics from the device top-k (equivalent to the
-        reference's full-matrix numpy path for <=top_k labels/video).
-        Multi-host: each process logs over ITS rows of the global batch
-        (local_rows; zero cross-host traffic), like the reference's
-        per-worker logging."""
+        """Host-side metrics from the device top-k; PERR is the EXACT
+        full-row per-video precision computed inside the step
+        (perr_precision_on_device), so the logged number matches the
+        reference's full-matrix path for ANY label count. Multi-host:
+        each process logs over ITS rows of the global batch (local_rows;
+        zero cross-host traffic), like the reference's per-worker
+        logging."""
         topk_val = distributed.local_rows(metrics["topk_val"])
         topk_idx = distributed.local_rows(metrics["topk_idx"])
         global_step_val = int(metrics["global_step"])
         examples_per_second = (
             labels.shape[0] * host.process_count / seconds_per_batch
         )
-        info = train_step_metrics(topk_val, topk_idx, labels)
+        info = train_step_metrics(
+            topk_val, topk_idx, labels,
+            perr_precision=distributed.local_rows(
+                metrics["perr_precision"]),
+        )
         logger.info(
             "%s: training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| "
             "Teacher_Loss: %s| L_REP: %s| L_PRED: %s| L_CE: %s",

@@ -20,6 +20,7 @@ from efficientvideoclassification_youtube8m_tpu.data.yt8m import FrameVideo
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "yt8m_io.cc")
+_SRC_HEAP = os.path.join(_DIR, "heap.cc")
 _SO = os.path.join(_DIR, "libyt8m_io.so")
 
 _lib = None
@@ -30,7 +31,11 @@ _ID_CAP = 256
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO,
+        # no FMA contraction: the AP sweep (heap.cc) must reproduce the
+        # Python float op sequence bit-for-bit (mul+add contracted into
+        # fma rounds once instead of twice)
+        "-ffp-contract=off",
+        _SRC, _SRC_HEAP, "-o", _SO,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
@@ -44,7 +49,8 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_HEAP))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
                 return None
         lib = ctypes.CDLL(_SO)
@@ -72,12 +78,67 @@ def _load():
         lib.yt8m_close.argtypes = [ctypes.c_void_p]
         lib.yt8m_crc32c.restype = ctypes.c_uint32
         lib.yt8m_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64]
+        _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.ap_heap_push.restype = ctypes.c_int64
+        lib.ap_heap_push.argtypes = [
+            _f64p, _f64p, ctypes.c_int64, ctypes.c_int64,
+            _f64p, _f64p, ctypes.c_int64,
+        ]
+        lib.ap_heap_build_segments.restype = None
+        lib.ap_heap_build_segments.argtypes = [
+            _f64p, _f64p, _i64p, _i64p, ctypes.c_int64,
+        ]
+        lib.ap_sample_perm.restype = None
+        lib.ap_sample_perm.argtypes = [ctypes.c_uint32, ctypes.c_int64, _i64p]
+        lib.ap_sweep_segments.restype = None
+        lib.ap_sweep_segments.argtypes = [
+            _f64p, _f64p, _i64p, _i64p, _f64p,
+            ctypes.c_int64, ctypes.c_uint32, ctypes.c_int64, _f64p,
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def heap_push(pred_heap: np.ndarray, act_heap: np.ndarray, size: int,
+              top_n: int, preds: np.ndarray, acts: np.ndarray) -> int:
+    """Bulk heapq-exact pushes (heap.cc) into the parallel f64 heap
+    arrays; returns the new heap length. top_n < 0 = unbounded."""
+    lib = _load()
+    return lib.ap_heap_push(pred_heap, act_heap, size, top_n,
+                            preds, acts, preds.shape[0])
+
+
+def heap_build_segments(preds: np.ndarray, acts: np.ndarray,
+                        starts: np.ndarray, ends: np.ndarray):
+    """In-place heapq-exact heapify of contiguous segments (heap.cc)."""
+    lib = _load()
+    lib.ap_heap_build_segments(preds, acts, starts, ends, starts.shape[0])
+
+
+def sample_perm(n: int, seed: int = 0) -> np.ndarray:
+    """CPython-exact `random.seed(seed); random.sample(range(n), n)`
+    permutation (heap.cc MT19937 replay) as an int64 array."""
+    lib = _load()
+    out = np.empty(n, np.int64)
+    lib.ap_sample_perm(seed, n, out)
+    return out
+
+
+def ap_sweep(preds: np.ndarray, acts: np.ndarray, starts: np.ndarray,
+             ends: np.ndarray, num_pos: np.ndarray, top_n: int,
+             seed: int = 0) -> np.ndarray:
+    """AP@n per segment (shuffle + stable sort + sweep in C, heap.cc);
+    top_n < 0 = unbounded."""
+    lib = _load()
+    out = np.empty(starts.shape[0], np.float64)
+    lib.ap_sweep_segments(preds, acts, starts, ends, num_pos, top_n, seed,
+                          starts.shape[0], out)
+    return out
 
 
 def crc32c(data: bytes) -> int:

@@ -82,15 +82,56 @@ def top_k_by_class(
     top_preds = predictions[rows, idx]
     top_labels = labels[rows, idx]
 
+    out_predictions, out_labels = _group_by_class(
+        idx.ravel(), top_preds.ravel(), top_labels.ravel(), num_classes
+    )
+    out_true_positives = list(labels.sum(axis=0))
+    return out_predictions, out_labels, out_true_positives
+
+
+def _class_sorted(flat_classes, flat_preds, flat_labels):
+    """Stable sort of flattened top-k triplets by class: per class the
+    entries keep (video, rank) order — exactly the per-class append
+    sequence of the reference's double loop (eval_util.py:110-118).
+
+    Stability comes from a composite (class, position) key with unique
+    values, which lets the default (faster, unstable) introsort produce
+    the stable order — ~4x quicker than kind='stable' on the [B*k]
+    int arrays this sees."""
+    n = flat_classes.size
+    key = flat_classes.astype(np.int64) * n + np.arange(n, dtype=np.int64)
+    order = np.argsort(key)
+    return flat_classes[order], flat_preds[order], flat_labels[order]
+
+
+def _label_count_reductions(labels: np.ndarray, need_rows: bool):
+    """(positives per class [C], labels per video [B] or None) for a
+    [B, C] label matrix. Bool-axis reductions in numpy cost ~3ms at
+    batch 512 x 4716; one f32 conversion feeding BLAS matvecs is ~3x
+    faster, and counts (<= 4716) are exact in float32."""
+    if labels.dtype == bool and labels.flags.c_contiguous:
+        f32 = labels.astype(np.float32)
+        pos = (np.ones(labels.shape[0], np.float32) @ f32).astype(np.int64)
+        rows = ((f32 @ np.ones(labels.shape[1], np.float32))
+                .astype(np.int64) if need_rows else None)
+        return pos, rows
+    pos = labels.sum(axis=0).astype(np.int64)
+    rows = labels.sum(axis=1).astype(np.int64) if need_rows else None
+    return pos, rows
+
+
+def _group_by_class(flat_classes, flat_preds, flat_labels, num_classes):
+    """Per-class score/label lists via one stable argsort instead of a
+    Python loop over every (video, rank) entry."""
+    sc, sp, sl = _class_sorted(flat_classes, flat_preds, flat_labels)
     out_predictions: List[List[float]] = [[] for _ in range(num_classes)]
     out_labels: List[List[float]] = [[] for _ in range(num_classes)]
-    for v in range(predictions.shape[0]):
-        for j in range(k):
-            c = idx[v, j]
-            out_predictions[c].append(top_preds[v, j])
-            out_labels[c].append(top_labels[v, j])
-    out_true_positives = [np.sum(labels[:, i]) for i in range(num_classes)]
-    return out_predictions, out_labels, out_true_positives
+    uniq, starts = np.unique(sc, return_index=True)
+    ends = np.append(starts[1:], sc.size)
+    for c, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+        out_predictions[c] = list(sp[s:e])
+        out_labels[c] = list(sl[s:e])
+    return out_predictions, out_labels
 
 
 def top_k_triplets(predictions: np.ndarray, labels: np.ndarray, k: int = 20):
@@ -146,19 +187,34 @@ def perr_precision_on_device(predictions, labels):
     return jnp.where(n > 0, hits / jnp.maximum(n, 1).astype(jnp.float32), 0.0)
 
 
+def _topk_perr_sum(topk_values, top_labels, label_counts):
+    """Sum over rows of precision-within-top-min(n,k): the top-k PERR
+    approximation, vectorized. The running (cumsum) reduction keeps the
+    row-by-row float accumulation of the original loop (rows with zero
+    labels contribute an exact + 0.0)."""
+    B, k = topk_values.shape
+    n = np.minimum(label_counts, k)
+    within = np.arange(k)[None, :] < n[:, None]
+    hits = np.sum(top_labels * (topk_values > 0) * within, axis=1)
+    per_row = np.where(n > 0, hits / np.maximum(n, 1), 0.0)
+    return float(np.cumsum(per_row)[-1]) if B else 0.0
+
+
 def train_step_metrics(
     topk_values: np.ndarray,  # [B, k] sorted desc (from device top_k)
     topk_indices: np.ndarray,  # [B, k]
     labels: np.ndarray,  # [B, num_class]
+    perr_precision=None,  # [B] exact per-row PERR from the device step
 ) -> Dict[str, float]:
     """Per-step Hit@1 / PERR / GAP from device-side top-k — the cheap path
     for the training loop's every-step logging (train.py:522-526).
 
-    Matches the reference's per-step numbers for <= k labels/video (up
-    to tie ordering in GAP), without constructing 4716 per-class mAP
-    accumulators per step: one global AP calculator over the pooled
-    top-k entries. The epoch-level eval path (EvaluationMetrics) keeps
-    the exact reference numerics.
+    With `perr_precision` (from `perr_precision_on_device`, computed over
+    the FULL score row inside the train step) PERR is exact for any label
+    count; without it, the top-k approximation (exact for <= k labels).
+    GAP uses one global AP calculator over the pooled top-k entries; the
+    epoch-level eval path (EvaluationMetrics) keeps the exact reference
+    numerics.
     """
     topk_values = np.asarray(topk_values)
     topk_indices = np.asarray(topk_indices)
@@ -169,21 +225,16 @@ def train_step_metrics(
 
     hit_at_one = float(np.average(labels[rows, topk_indices[:, 0]]))
 
-    perr = 0.0
-    label_counts = labels.sum(axis=1).astype(np.int64)
-    for row in range(B):
-        n = min(int(label_counts[row]), k)
-        if n == 0:
-            continue
-        perr += float(
-            np.sum(top_labels[row, :n] * (topk_values[row, :n] > 0))
-        ) / n
-    perr /= B
+    if perr_precision is not None:
+        perr = float(np.sum(np.asarray(perr_precision))) / B
+    else:
+        label_counts = labels.sum(axis=1).astype(np.int64)
+        perr = _topk_perr_sum(topk_values, top_labels, label_counts) / B
 
     gap_calc = AveragePrecisionCalculator()
     gap_calc.accumulate(
-        list(topk_values.ravel()),
-        list(top_labels.astype(np.float64).ravel()),
+        topk_values.ravel(),
+        top_labels.astype(np.float64).ravel(),
         float(labels.sum()),
     )
     return {
@@ -194,7 +245,16 @@ def train_step_metrics(
 
 
 class EvaluationMetrics:
-    """Epoch-level aggregator (eval_util.py:126-213)."""
+    """Epoch-level aggregator (eval_util.py:126-213).
+
+    Throughput design: `accumulate_topk` does only vectorized numpy work
+    per batch (one [B*k] argsort + gathers) and DEFERS the AP-calculator
+    pushes — batches are queued as flat arrays and flushed with one
+    epoch-wide group-by when `get()` reads the results. The deferral is
+    exact: every calculator heap here is unbounded, so pushing a class's
+    entries all at once in their original (batch, video, rank) arrival
+    order builds the same heap the per-entry path built, and the heap
+    order is what feeds the GAP tie-break (average_precision.py)."""
 
     def __init__(self, num_class: int, top_k: int):
         self.sum_hit_at_one = 0.0
@@ -205,8 +265,10 @@ class EvaluationMetrics:
         self.top_k = top_k
         self.num_examples = 0
         self.num_class = num_class
+        self._pending: List[tuple] = []  # (classes, preds, labels, pos[C])
 
     def accumulate(self, predictions, labels, loss) -> Dict[str, float]:
+        self._flush_pending()  # keep heap-push order across mixed calls
         predictions = np.asarray(predictions)
         labels = np.asarray(labels)
         batch_size = labels.shape[0]
@@ -250,56 +312,99 @@ class EvaluationMetrics:
         topk_indices = np.asarray(topk_indices)
         labels = np.asarray(labels)
         batch_size = labels.shape[0]
-        num_classes = labels.shape[1]
-        k = topk_values.shape[1]
 
         rows = np.arange(batch_size)
         hits = labels[rows, topk_indices[:, 0]]
         mean_hit_at_one = float(np.average(hits))
 
         top_labels = labels[rows[:, None], topk_indices]
+        pos_per_class, label_counts = _label_count_reductions(
+            labels, need_rows=perr_precision is None
+        )
         if perr_precision is not None:
             # exact per-row precisions computed on device over the full row
             mean_perr = float(np.sum(np.asarray(perr_precision))) / batch_size
         else:
             # PERR within the top-k ranked list (approximate for >k labels)
-            aggregated_precision = 0.0
-            for row in range(batch_size):
-                num_labels = int(np.sum(labels[row]))
-                n = min(num_labels, k)
-                if n == 0:
-                    continue
-                # top-k values arrive sorted descending from lax.top_k
-                sel = slice(0, n)
-                item_precision = float(
-                    np.sum(top_labels[row, sel] * (topk_values[row, sel] > 0))
-                ) / n
-                aggregated_precision += item_precision
-            mean_perr = aggregated_precision / batch_size
+            mean_perr = (
+                _topk_perr_sum(topk_values, top_labels, label_counts)
+                / batch_size
+            )
         mean_loss = float(np.mean(loss))
 
-        out_predictions: List[List[float]] = [[] for _ in range(num_classes)]
-        out_labels: List[List[float]] = [[] for _ in range(num_classes)]
-        for v in range(batch_size):
-            for j in range(k):
-                c = topk_indices[v, j]
-                out_predictions[c].append(topk_values[v, j])
-                out_labels[c].append(top_labels[v, j])
-        num_positives = [np.sum(labels[:, i]) for i in range(num_classes)]
-
-        self.map_calculator.accumulate(out_predictions, out_labels, num_positives)
-        self.global_ap_calculator.accumulate(
-            flatten(out_predictions), flatten(out_labels), sum(num_positives)
+        # class-major per batch (== flatten(per-class lists) push order);
+        # the AP-calculator pushes themselves are deferred to get()
+        sc, sp, sl = _class_sorted(
+            topk_indices.ravel().astype(np.int64),
+            topk_values.ravel().astype(np.float64),
+            top_labels.ravel().astype(np.float64),
         )
+        self._pending.append((sc, sp, sl, pos_per_class))
+
         self.num_examples += batch_size
         self.sum_hit_at_one += mean_hit_at_one * batch_size
         self.sum_perr += mean_perr * batch_size
         self.sum_loss += mean_loss * batch_size
         return {"hit_at_one": mean_hit_at_one, "perr": mean_perr, "loss": mean_loss}
 
+    def _flush_pending(self):
+        """Push every queued batch into the AP calculators: one global
+        accumulate in arrival order, one epoch-wide stable group-by for
+        the per-class calculators (entries per class keep (batch, video,
+        rank) order — the exact per-entry push sequence)."""
+        if not self._pending:
+            return
+        classes = np.concatenate([p[0] for p in self._pending])
+        preds = np.concatenate([p[1] for p in self._pending])
+        acts = np.concatenate([p[2] for p in self._pending])
+        pos = np.sum([p[3] for p in self._pending], axis=0)
+        self._pending = []
+
+        from efficientvideoclassification_youtube8m_tpu.metrics.average_precision import (
+            _native,
+        )
+
+        native = _native()
+        gcalc = self.global_ap_calculator
+        if (native is not None and gcalc.heap_size == 0
+                and gcalc._top_n is None):
+            # empty unbounded global calculator: heapify the epoch's
+            # entries in place (same layout as sequential pushes) and
+            # adopt — skips the grow-and-push of the big array
+            gp, ga = preds.copy(), acts.copy()
+            native.heap_build_segments(
+                gp, ga, np.zeros(1, np.int64),
+                np.asarray([gp.size], np.int64))
+            gcalc._adopt_heap(gp, ga, pos.sum())
+        else:
+            gcalc.accumulate(preds, acts, pos.sum())
+        sc, sp, sa = _class_sorted(classes, preds, acts)
+        uniq, starts = np.unique(sc, return_index=True)
+        ends = np.append(starts[1:], sc.size)
+        calcs = self.map_calculator._ap_calculators
+        present = np.zeros(self.num_class, bool)
+        present[uniq] = True
+
+        empty = (native is not None and
+                 [c for c in uniq.tolist() if calcs[c].heap_size == 0])
+        if native is not None and len(empty) == len(uniq):
+            # one C call heapifies every class segment in place with the
+            # exact heapq layout; calculators adopt zero-copy views
+            native.heap_build_segments(sp, sa, starts, ends)
+            for c, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+                calcs[c]._adopt_heap(sp[s:e], sa[s:e], pos[c])
+        else:
+            for c, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+                calcs[c].accumulate(sp[s:e], sa[s:e], pos[c])
+        # classes with positives but no top-k entries still count their
+        # positives (the per-entry path accumulated empty lists for them)
+        for c in np.flatnonzero(~present & (pos > 0)).tolist():
+            calcs[c].accumulate([], [], pos[c])
+
     def get(self) -> Dict[str, object]:
         if self.num_examples <= 0:
             raise ValueError("total_sample must be positive.")
+        self._flush_pending()
         return {
             "avg_hit_at_one": self.sum_hit_at_one / self.num_examples,
             "avg_perr": self.sum_perr / self.num_examples,
@@ -315,3 +420,4 @@ class EvaluationMetrics:
         self.map_calculator.clear()
         self.global_ap_calculator.clear()
         self.num_examples = 0
+        self._pending = []

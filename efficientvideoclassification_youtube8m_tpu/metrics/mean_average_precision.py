@@ -42,4 +42,34 @@ class MeanAveragePrecisionCalculator:
         return all(c.heap_size == 0 for c in self._ap_calculators)
 
     def peek_map_at_n(self) -> List[float]:
-        return [c.peek_ap_at_n() for c in self._ap_calculators]
+        from efficientvideoclassification_youtube8m_tpu.metrics.average_precision import (
+            _native,
+            _native_perm_ok,
+        )
+
+        calcs = self._ap_calculators
+        native = _native()
+        if (native is not None and _native_perm_ok(native)
+                and all(c._top_n is None for c in calcs)):
+            # batch all 4716 per-class sweeps into ONE C call (shuffle +
+            # stable sort + sweep per segment, bit-identical to
+            # peek_ap_at_n) — per-class Python/ctypes overhead dominates
+            # the epoch finalize otherwise
+            import numpy as np
+
+            sizes = np.fromiter((c._n for c in calcs), np.int64, len(calcs))
+            ends = np.cumsum(sizes)
+            starts = ends - sizes
+            preds = np.concatenate(
+                [c._pred_heap[: c._n] for c in calcs]
+            ) if ends[-1] else np.zeros(0, np.float64)
+            acts = np.concatenate(
+                [c._act_heap[: c._n] for c in calcs]
+            ) if ends[-1] else np.zeros(0, np.float64)
+            num_pos = np.fromiter(
+                (float(c._total_positives) for c in calcs), np.float64,
+                len(calcs),
+            )
+            return [float(x) for x in
+                    native.ap_sweep(preds, acts, starts, ends, num_pos, -1)]
+        return [c.peek_ap_at_n() for c in calcs]

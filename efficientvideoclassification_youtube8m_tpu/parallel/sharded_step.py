@@ -47,7 +47,8 @@ _DISTILL_SCALARS = (
 _FINETUNE_SCALARS = ("student_label_loss", "student_reg_loss")
 
 
-def _train_metric_shardings(mesh: Mesh, scalar_keys):
+def _train_metric_shardings(mesh: Mesh, scalar_keys,
+                            with_perr: bool = False):
     """Pin the metric outputs: scalars replicated, top-k row-sharded over
     the data axis. Without this GSPMD may choose layouts where a host's
     addressable shards are COLUMN slices — `distributed.local_rows`
@@ -57,6 +58,8 @@ def _train_metric_shardings(mesh: Mesh, scalar_keys):
     out = {k: rep for k in scalar_keys}
     out.update(learning_rate=rep, global_step=rep,
                topk_val=rows, topk_idx=rows)
+    if with_perr:
+        out["perr_precision"] = NamedSharding(mesh, P(DATA_AXIS))
     return out
 
 
@@ -111,7 +114,8 @@ def build_sharded_distill_step(
     return jax.jit(
         step,
         in_shardings=(st_shard, fs, ls, ns),
-        out_shardings=(st_shard, _train_metric_shardings(mesh, _DISTILL_SCALARS)),
+        out_shardings=(st_shard, _train_metric_shardings(
+            mesh, _DISTILL_SCALARS, with_perr=True)),
         donate_argnums=(0,),
     )
 
@@ -180,7 +184,8 @@ def build_sharded_eval_step(
                    out_shardings=_eval_metric_shardings(mesh))
 
 
-def _shardmap_train(step, mesh, metric_scalars, feature_ndim: int = 3):
+def _shardmap_train(step, mesh, metric_scalars, feature_ndim: int = 3,
+                    with_perr: bool = False):
     """shard_map a per-device train step (built with axis_name=DATA_AXIS):
     replicated state in/out, batch sharded over "data", topk concatenated.
 
@@ -203,6 +208,8 @@ def _shardmap_train(step, mesh, metric_scalars, feature_ndim: int = 3):
         learning_rate=P(), global_step=P(),
         topk_val=P(DATA_AXIS, None), topk_idx=P(DATA_AXIS, None),
     )
+    if with_perr:
+        metric_specs["perr_precision"] = P(DATA_AXIS)
     mapped = jax.shard_map(
         step, mesh=mesh, in_specs=in_specs,
         out_specs=(P(), metric_specs), check_vma=False,
@@ -220,7 +227,7 @@ def build_shardmap_distill_step(
         raise ValueError("shard_map train path is data-parallel only")
     step = build_distill_train_step(cfg, optimizer, top_k,
                                     axis_name=DATA_AXIS)
-    return _shardmap_train(step, mesh, _DISTILL_SCALARS)
+    return _shardmap_train(step, mesh, _DISTILL_SCALARS, with_perr=True)
 
 
 def build_shardmap_finetune_step(

@@ -433,12 +433,20 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         # the reference's per-step log covers TEACHER metrics only
         # (train.py:522-526); the student's come from validate.py
         topk_val_t, topk_idx_t = jax.lax.top_k(preds_t, top_k)
+        from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
+            perr_precision_on_device,
+        )
+
         metrics = dict(
             ls,
             learning_rate=lr,
             global_step=new_state.global_step,
             topk_val=topk_val_t,
             topk_idx=topk_idx_t,
+            # exact per-video PERR over the FULL teacher score row (the
+            # reference's eval_util.py:34-59 definition) — the top-k form
+            # quietly deviates for >top_k-label videos; ~3 ms on device
+            perr_precision=perr_precision_on_device(preds_t, labels),
         )
         return new_state, metrics
 

