@@ -117,9 +117,11 @@ def _timed_videos_per_sec(fn, sync, batch: int, iters: int = 10,
     return batch / best
 
 
-def run_serving(batch_size: int, compute_dtype: str) -> float:
+def run_serving(batch_size: int, compute_dtype: str,
+                quantize: str = "none") -> float:
     """Student serving path: the Predictor's jitted forward (predictions
-    only) on device-resident uint8 batches."""
+    only) on device-resident uint8 batches. quantize='int8' runs the
+    weight+activation int8 path (ops/quantize.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -137,7 +139,8 @@ def run_serving(batch_size: int, compute_dtype: str) -> float:
     cfg = TrainConfig(batch_size=batch_size, compute_dtype=compute_dtype)
     opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     state = init_distill_state(cfg, opt)
-    predictor = Predictor(cfg, state.params_student, serve_batch=batch_size)
+    predictor = Predictor(cfg, state.params_student, serve_batch=batch_size,
+                          quantize=quantize)
 
     rng = np.random.default_rng(1)
     feats, _, nf = _bench_batch(cfg, rng)
@@ -242,13 +245,20 @@ def main():
         sys.exit(1)
 
     # secondary metrics: best-effort, never fail the bench
-    serving = eval_tput = None
+    serving = serving_int8 = eval_tput = None
     for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
         try:
             serving = run_serving(batch, dtype)
             break
         except Exception as e:
             print(f"serving bench (batch={batch}) failed: {e}", file=sys.stderr)
+    for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
+        try:
+            serving_int8 = run_serving(batch, dtype, quantize="int8")
+            break
+        except Exception as e:
+            print(f"int8 serving bench (batch={batch}) failed: {e}",
+                  file=sys.stderr)
     eval_e2e = None
     for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
         try:
@@ -263,6 +273,8 @@ def main():
         "unit": "videos/s",
         "vs_baseline": round(videos_per_sec / BASELINE_VIDEOS_PER_SEC, 1),
         "serving_videos_per_sec": round(serving, 2) if serving else None,
+        "serving_int8_videos_per_sec":
+            round(serving_int8, 2) if serving_int8 else None,
         "eval_videos_per_sec": round(eval_tput, 2) if eval_tput else None,
         "eval_e2e_videos_per_sec": round(eval_e2e, 2) if eval_e2e else None,
     }))

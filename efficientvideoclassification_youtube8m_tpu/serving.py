@@ -56,8 +56,10 @@ from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 class Predictor:
     def __init__(self, cfg: TrainConfig, params, tower: str = "student",
                  serve_batch: int = 256, mesh=None,
-                 sequence_parallel: bool = False):
+                 sequence_parallel: bool = False, quantize: str = "none"):
         assert tower in ("student", "teacher")
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"quantize must be 'none' or 'int8', got {quantize!r}")
         self.cfg = cfg
         self.tower = tower
         self.serve_batch = serve_batch
@@ -65,7 +67,10 @@ class Predictor:
         # only 1/every_n of the uint8 bytes cross the host->device edge
         self._host_stride = cfg.every_n if tower == "student" else 1
 
-        if sequence_parallel:
+        if quantize == "int8":
+            self._fwd = self._build_int8_fwd(cfg, params, tower,
+                                             mesh, sequence_parallel)
+        elif sequence_parallel:
             self._fwd = self._build_sequence_parallel_fwd(cfg, mesh, tower)
             self.params = jax.device_put(params)
         elif mesh is not None:
@@ -122,6 +127,46 @@ class Predictor:
                 return out["predictions"]
 
             self._fwd = jax.jit(fwd)
+
+    def _build_int8_fwd(self, cfg: TrainConfig, params, tower: str,
+                        mesh, sequence_parallel: bool):
+        """int8 weight+activation forward (ops/quantize.py): both LSTM
+        matmul sites and the MoE head run int8 x int8 -> int32 on the
+        MXU (2x the bf16 rate on v5e); gate math stays f32. Params are
+        quantized ONCE here (per-channel scales) and live on device as
+        int8 — half the HBM of bf16 weights."""
+        from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
+            quantize_hierarchical_params,
+            quantized_hierarchical_forward,
+        )
+
+        if mesh is not None or sequence_parallel:
+            raise ValueError("quantize='int8' serving is single-device")
+        if (cfg.model != "HierarchicalLstmModel"
+                or cfg.video_level_classifier_model != "MoeModel"):
+            raise ValueError(
+                "quantize='int8' covers the flagship "
+                "HierarchicalLstmModel + MoeModel configuration"
+            )
+        num_chunks = (cfg.num_inputs_L1 if tower == "student"
+                      else cfg.num_inputs_to_lstm)
+        self.params = jax.device_put(quantize_hierarchical_params(
+            params, cfg.total_feature_size, cfg.lstm_cells, cfg.lstm_layers
+        ))
+
+        def fwd(qparams, features_u8, num_frames):
+            if tower == "student":
+                # features arrive host-strided to every_n already
+                num_frames = student_num_frames(num_frames, cfg.every_n,
+                                                cfg.max_num_frames)
+            model_input = preprocess_batch(cfg, features_u8, num_frames)
+            return quantized_hierarchical_forward(
+                qparams, model_input, num_frames, num_chunks,
+                cfg.num_classes, cfg.moe_num_mixtures,
+                scan_unroll=cfg.scan_unroll,
+            )
+
+        return jax.jit(fwd)
 
     @staticmethod
     def _build_sequence_parallel_fwd(cfg: TrainConfig, mesh, tower: str):
@@ -182,6 +227,7 @@ class Predictor:
         serve_batch: int = 256,
         mesh=None,
         sequence_parallel: bool = False,
+        quantize: str = "none",
     ) -> "Predictor":
         """Load the latest checkpoint from a (finetune or distillation)
         train_dir. Finetune checkpoints carry only the student."""
@@ -214,7 +260,7 @@ class Predictor:
                 state = restore_checkpoint(ckpt, distill_template)
             params = state.params_student
         return cls(cfg, params, tower, serve_batch, mesh=mesh,
-                   sequence_parallel=sequence_parallel)
+                   sequence_parallel=sequence_parallel, quantize=quantize)
 
     def predict(self, features_u8: np.ndarray, num_frames: np.ndarray
                 ) -> np.ndarray:
