@@ -81,7 +81,6 @@ class HierarchicalLstmModel:
         rng: Optional[jax.Array] = None,
         scan_unroll: int = 1,
         use_pallas: bool = False,
-        lstm_custom_vjp: bool = False,
         **classifier_kwargs,
     ) -> Dict[str, Any]:
         B, T, D = model_input.shape
@@ -91,7 +90,6 @@ class HierarchicalLstmModel:
         def xla_scan_fn(p, xs, seq):
             return multi_lstm_scan(
                 p, xs, seq, compute_dtype=compute_dtype, unroll=scan_unroll,
-                custom_vjp=lstm_custom_vjp,
             )
 
         if use_pallas:

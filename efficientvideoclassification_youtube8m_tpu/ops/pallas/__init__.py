@@ -4,8 +4,3 @@ from efficientvideoclassification_youtube8m_tpu.ops.pallas.lstm_scan import (
 )
 
 __all__ = ["lstm_chunk_scan_pallas", "multi_lstm_scan_pallas"]
-from efficientvideoclassification_youtube8m_tpu.ops.pallas.preprocess import (
-    dequantize_l2_normalize_pallas,
-)
-
-__all__.append("dequantize_l2_normalize_pallas")

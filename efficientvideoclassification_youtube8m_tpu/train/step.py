@@ -55,6 +55,14 @@ def resolve_label_loss(cfg: TrainConfig):
     comes from cfg.class_counts_file (one integer per line).
     """
     fn = losses_lib.get_loss(cfg.label_loss)
+    if cfg.label_loss == "PWELoss" and cfg.faithful_quirks:
+        # the literal graph's hardcoded batch-128 reshape (losses.py
+        # docstring); the corrected default accepts any batch
+
+        def bound_pwe(predictions, labels, **kw):
+            return fn(predictions, labels, faithful_quirks=True, **kw)
+
+        return bound_pwe
     if cfg.label_loss == "CrossEntropyLossClassImbalance":
         path = getattr(cfg, "class_counts_file", "") or "counts_tv"
         with open(path) as f:
@@ -75,9 +83,6 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
         if cfg.compute_dtype == "bfloat16"
         else jnp.float32,
         "scan_unroll": cfg.scan_unroll,
-        "lstm_custom_vjp": cfg.lstm_custom_vjp
-        and cfg.compute_dtype == "bfloat16"
-        and not inference,
     }
     kw["is_training"] = not inference
     if cfg.model == "DbofModel":
@@ -117,9 +122,9 @@ def preprocess_batch(
 ) -> jax.Array:
     """uint8 [B, T, D] -> l2-normalized f32 (train.py:256 + readers.py
     Dequantize), fused on device. Measured on v5e: XLA already fuses
-    this chain into one pass (3.5 ms at the flagship batch) and beats the
-    handwritten Pallas version (ops/pallas/preprocess.py, 4.6 ms), so the
-    XLA path is used; the kernel remains as tested infrastructure.
+    this chain into one pass (3.5 ms at the flagship batch) and beat a
+    handwritten Pallas version (4.6 ms; removed in r3 — measurements in
+    CLAUDE.md), so the XLA path is the only one.
 
     Padding frames must end up EXACTLY 0.0 like the reference's
     dequantize-then-zero-pad order (readers.py:170-173) — the loader pads

@@ -81,10 +81,6 @@ class TrainConfig:
     # fused Pallas LSTM kernel on the forward-only (eval/infer) paths;
     # auto-disabled off-TPU and in float32 mode
     use_pallas_inference: bool = True
-    # custom-VJP LSTM backward (saved bf16 gates + batched weight-grad
-    # matmuls instead of scan-AD recompute); measured neutral vs XLA's
-    # scan AD on v5e at the flagship shapes, so off by default
-    lstm_custom_vjp: bool = False
     faithful_quirks: bool = True  # L_REP double-count + global_step += 2
     use_native_io: bool = True
     # synced (cross-shard) batch-norm moments under the shard_map train

@@ -58,23 +58,3 @@ def test_pallas_outputs_stream_correctly():
     outs_bm = np.asarray(jnp.swapaxes(outs, 0, 1))
     for b, s in enumerate([0, 2, 4, 6, 6, 1, 3, 5]):
         assert np.all(outs_bm[b, s:] == 0)
-
-
-def test_preprocess_kernel_matches_xla():
-    from efficientvideoclassification_youtube8m_tpu.ops.pallas.preprocess import (
-        dequantize_l2_normalize_pallas,
-    )
-    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
-        dequantize,
-        l2_normalize,
-    )
-
-    x = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (4, 12, 256), np.uint8))
-    want = np.asarray(l2_normalize(dequantize(x), axis=2))
-    got = np.asarray(dequantize_l2_normalize_pallas(x, interpret=True))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
-    # all-zero frames (padding) stay finite and zero
-    x0 = jnp.zeros((2, 4, 256), jnp.uint8)
-    out0 = np.asarray(dequantize_l2_normalize_pallas(x0, interpret=True))
-    assert np.all(np.isfinite(out0))
