@@ -78,17 +78,31 @@ def cross_entropy_loss_top50(predictions, labels, **_):
 
 
 @register_loss("PWELoss")
-def pwe_loss(predictions, labels, **_):
+def pwe_loss(predictions, labels, faithful_quirks=False, **_):
     """losses.py:62-84 — pairwise exponential loss.
 
-    The reference hardcodes batch 128 via reshape; here any batch works.
-    NOTE: the reference accumulates the full [V, V] per-example matrix
-    and divides the *matrix* by the pos*neg normalizer, then by 128 —
-    returning a matrix-valued "loss"; we reduce it to its scalar sum,
-    which is what gradient descent on the reference graph effectively
-    optimizes.
+    The reference's "loss" is MATRIX-valued: it accumulates each
+    example's full [V, V] pairwise matrix divided by its pos*neg
+    normalizer and returns the summed matrix / 128 (losses.py:78-84).
+    slim's `create_train_op` then differentiates that non-scalar with a
+    ones cotangent, so the quantity gradient descent actually optimizes
+    is the SUM of the matrix — exactly the scalar computed here (the
+    per-example matrix sum factorizes to sum(p) * sum(exp(-l) ... )
+    without materializing [V, V]).
+
+    `faithful_quirks` additionally reproduces the literal graph's
+    hardcoded `tf.reshape(predictions, [128, 4716])` batch contract
+    (losses.py:70-71): any batch other than 128 fails at trace time,
+    exactly as the reference session would. (The reference also
+    hardcodes vocab 4716; the reshape here keeps the row count quirk
+    and leaves V free so the contract is testable at small vocab.)
+    Tested against a literal transcription's gradients at batch 128
+    (tests/test_losses.py).
     """
     float_labels = labels.astype(jnp.float32)
+    if faithful_quirks:
+        predictions = jnp.reshape(predictions, (128, predictions.shape[-1]))
+        float_labels = jnp.reshape(float_labels, (128, float_labels.shape[-1]))
 
     def per_example(p, lab):
         pn_pairs = p[:, None] * (1.0 - p)[None, :]

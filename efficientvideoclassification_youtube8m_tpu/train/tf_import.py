@@ -94,33 +94,91 @@ def _hierarchical_name_tree(scope: str, template: Any) -> Any:
             }
             for i in range(len(cells))
         ]
-    clf = template["classifier"]
-    if set(clf) != {"gates", "experts"}:
+    tree["classifier"] = _moe_classifier_name_tree(
+        f"{scope}/classifier", template["classifier"]
+    )
+    return tree
+
+
+def _moe_classifier_name_tree(prefix: str, clf_template: Any) -> Any:
+    """Name/converter tree for a MoE head living at `prefix` (the
+    hierarchical model's `{scope}/classifier`, DBoF's bare `{scope}` —
+    DBoF calls the video-level model without a variable_scope,
+    frame_level_models.py:192-196)."""
+    if set(clf_template) != {"gates", "experts"}:
         raise NotImplementedError(
             "TF import supports the MoE classifier (the reference "
-            f"flagship); template has {sorted(clf)}"
+            f"flagship); template has {sorted(clf_template)}"
         )
-    m_plus_1 = clf["gates"]["w"].shape[1]
-    m = clf["experts"]["w"].shape[1]
-    tree["classifier"] = {
+    m_plus_1 = clf_template["gates"]["w"].shape[1]
+    m = clf_template["experts"]["w"].shape[1]
+    return {
         "gates": {
             "w": (
-                f"{scope}/classifier/gates/weights",
+                f"{prefix}/gates/weights",
                 lambda x: moe_weights_from_tf(x, m_plus_1),
             )
         },
         "experts": {
             "w": (
-                f"{scope}/classifier/experts/weights",
+                f"{prefix}/experts/weights",
                 lambda x: moe_weights_from_tf(x, m),
             ),
             "b": (
-                f"{scope}/classifier/experts/biases",
+                f"{prefix}/experts/biases",
                 lambda x: moe_bias_from_tf(x, m),
             ),
         },
     }
+
+
+def _dbof_name_tree(scope: str, template: Any) -> Any:
+    """DBoF variable map (frame_level_models.py:104-196): the FC kernels
+    are UNNAMED tf.Variables, so TF names them `{scope}/Variable[_k]` in
+    creation order — cluster_weights first, then (no-BN only)
+    cluster_biases, then hidden1_weights, then hidden1_biases. slim
+    batch_norm scopes input_bn/cluster_bn/hidden1_bn carry
+    gamma/beta/moving_mean/moving_variance (center=True, scale=True)."""
+    ident: Converter = lambda x: x  # noqa: E731
+    add_bn = "input_bn" in template
+    ordinal = iter(range(16))
+
+    def unnamed():
+        k = next(ordinal)
+        return f"{scope}/Variable" if k == 0 else f"{scope}/Variable_{k}"
+
+    def bn(name):
+        return {
+            "scale": (f"{scope}/{name}/gamma", ident),
+            "offset": (f"{scope}/{name}/beta", ident),
+            "moving_mean": (f"{scope}/{name}/moving_mean", ident),
+            "moving_var": (f"{scope}/{name}/moving_variance", ident),
+        }
+
+    tree: Dict[str, Any] = {"cluster": {"w": (unnamed(), ident)}}
+    if not add_bn:
+        tree["cluster"]["b"] = (unnamed(), ident)
+    tree["hidden1"] = {"w": (unnamed(), ident)}
+    if not add_bn:
+        tree["hidden1"]["b"] = (unnamed(), ident)
+    if add_bn:
+        tree["input_bn"] = bn("input_bn")
+        tree["cluster_bn"] = bn("cluster_bn")
+        tree["hidden1_bn"] = bn("hidden1_bn")
+    tree["classifier"] = _moe_classifier_name_tree(scope, template["classifier"])
     return tree
+
+
+def _name_tree(scope: str, template: Any) -> Any:
+    """Dispatch on the params-template shape: hierarchical LSTM vs DBoF."""
+    if "rnn_l1" in template:
+        return _hierarchical_name_tree(scope, template)
+    if "cluster" in template:
+        return _dbof_name_tree(scope, template)
+    raise NotImplementedError(
+        "TF import supports HierarchicalLstmModel and DbofModel "
+        f"templates; got keys {sorted(template)}"
+    )
 
 
 def _load_tree(reader: TFCheckpointReader, name_tree: Any, template: Any,
@@ -142,7 +200,7 @@ def _load_tree(reader: TFCheckpointReader, name_tree: Any, template: Any,
                 return None
             raise KeyError(
                 f"checkpoint {reader.prefix} lacks {tf_name!r}; not a "
-                "reference hierarchical-LSTM checkpoint?"
+                "reference checkpoint for this model?"
             )
         arr = convert(reader.get_tensor(tf_name + suffix))
         if tuple(arr.shape) != tuple(tmpl.shape):
@@ -191,10 +249,8 @@ def import_distill_state(prefix: str, template: Any) -> Any:
     """Reference distillation checkpoint -> DistillState (params for both
     towers, global_step, Adam moments when present)."""
     reader = TFCheckpointReader(prefix)
-    t_tree = _hierarchical_name_tree("model", template.params_teacher)
-    s_tree = _hierarchical_name_tree(
-        "model_student", template.params_student
-    )
+    t_tree = _name_tree("model", template.params_teacher)
+    s_tree = _name_tree("model_student", template.params_student)
     params_teacher = _load_tree(reader, t_tree, template.params_teacher)
     params_student = _load_tree(reader, s_tree, template.params_student)
     opt_teacher = _import_optimizer_slots(
@@ -233,9 +289,7 @@ def _student_power_ordinal(reader: TFCheckpointReader) -> int:
 def import_student_state(prefix: str, template: Any) -> Any:
     """Reference finetune/inference checkpoint -> StudentState."""
     reader = TFCheckpointReader(prefix)
-    s_tree = _hierarchical_name_tree(
-        "model_student", template.params_student
-    )
+    s_tree = _name_tree("model_student", template.params_student)
     params_student = _load_tree(reader, s_tree, template.params_student)
     opt_student = _import_optimizer_slots(
         reader, s_tree, template.opt_student, _student_power_ordinal(reader)

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Acceptance harness — replays the recorded flagship convergence run
+and ASSERTS its bands (the durable form of the r1/r2 acceptance records
+in CLAUDE.md).
+
+Recipe (r2 record): learnable synthetic data (label->byte-pattern
+mapping, data/yt8m.write_learnable_frame_shard) with vocab 256, 2048
+train / 512 held-out videos, flagship dims (HierarchicalLstm 2x1024,
+300 frames, 20 chunks, every_n 10), bf16, 20 epochs at batch 256
+through the REAL cli.train, then held-out STUDENT validation through
+cli.validate.
+
+Recorded results: teacher hits train GAP 1.00 by ~step 590; held-out
+student Hit@1 0.963 / PERR 0.823 / mAP 0.783 / GAP 0.759.
+
+Asserted bands (fail -> exit 1):
+  * train GAP >= 0.995 by step <= 700
+  * held-out student Hit@1 >= 0.95 and GAP >= 0.74
+
+Intended for TPU (~10 min incl. compile). On CPU pass --scan_unroll 1
+and expect a multi-hour run (one host core).
+
+Usage: python scripts/acceptance_run.py [--workdir DIR] [--scan_unroll N]
+"""
+
+import argparse
+import logging
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from efficientvideoclassification_youtube8m_tpu.data import (  # noqa: E402
+    write_learnable_frame_shard,
+)
+
+_STEP_RE = re.compile(
+    r"training step (\d+)\| Hit@1: ([\d.]+)\| PERR: ([\d.]+)\| GAP: ([\d.]+)"
+)
+
+VOCAB = 256
+TRAIN_VIDEOS = 2048
+HELDOUT_VIDEOS = 512
+
+
+class _GapCapture(logging.Handler):
+    def __init__(self):
+        super().__init__()
+        self.first_converged_step = None
+        self.last = None
+
+    def emit(self, record):
+        m = _STEP_RE.search(record.getMessage())
+        if m:
+            step, gap = int(m.group(1)), float(m.group(4))
+            self.last = (step, gap)
+            if gap >= 0.995 and self.first_converged_step is None:
+                self.first_converged_step = step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--scan_unroll", type=int, default=15)
+    ap.add_argument("--num_epochs", type=int, default=20)
+    args = ap.parse_args()
+    workdir = args.workdir or tempfile.mkdtemp(prefix="yt8m_acceptance_")
+    data_dir = os.path.join(workdir, "yt8m")
+    os.makedirs(data_dir, exist_ok=True)
+    print(f"writing learnable synthetic shards under {data_dir} ...")
+    per_shard = 512
+    for s in range(TRAIN_VIDEOS // per_shard):
+        write_learnable_frame_shard(
+            os.path.join(data_dir, f"train-{s:04d}.tfrecord"),
+            num_videos=per_shard, seed=s, vocab_size=VOCAB,
+        )
+    write_learnable_frame_shard(
+        os.path.join(data_dir, "validate-0000.tfrecord"),
+        num_videos=HELDOUT_VIDEOS, seed=9, vocab_size=VOCAB,
+    )
+    train_dir = os.path.join(workdir, "model_train") + "/"
+
+    flags = [
+        "--feature_names", "rgb, audio",
+        "--feature_sizes", "1024, 128",
+        "--model", "HierarchicalLstmModel",
+        "--num_classes", str(VOCAB),
+        "--batch_size", "256",
+        "--num_inputs_to_lstm", "20",
+        "--lstm_cells", "1024",
+        "--lstm_layers", "2",
+        "--every_n", "10",
+        "--num_readers", "4",
+        "--compute_dtype", "bfloat16",
+        "--scan_unroll", str(args.scan_unroll),
+        "--save_model_secs", "100000",  # one final checkpoint
+    ]
+
+    from efficientvideoclassification_youtube8m_tpu.cli import (
+        train as train_cli,
+        validate as validate_cli,
+    )
+    from efficientvideoclassification_youtube8m_tpu.metrics import eval_util
+
+    print("=== train (teacher+student, flagship dims) ===")
+    capture = _GapCapture()
+    logging.getLogger("train").addHandler(capture)
+    train_cli.main(flags + [
+        "--train_dir", train_dir,
+        "--train_data_pattern", os.path.join(data_dir, "train-*.tfrecord"),
+        "--num_epochs", str(args.num_epochs),
+        "--start_new_model", "true",
+    ])
+    logging.getLogger("train").removeHandler(capture)
+
+    print("=== held-out student validation ===")
+    epoch = {}
+    orig_get = eval_util.EvaluationMetrics.get
+
+    def capture_get(self):
+        data = orig_get(self)
+        epoch.update(data)
+        return data
+
+    eval_util.EvaluationMetrics.get = capture_get
+    try:
+        validate_cli.main(flags + [
+            "--train_dir", train_dir,
+            "--eval_data_pattern", os.path.join(data_dir,
+                                                "validate-*.tfrecord"),
+            "--run_once", "true",
+        ])
+    finally:
+        eval_util.EvaluationMetrics.get = orig_get
+
+    aps = epoch.get("aps") or []
+    mean_ap = sum(aps) / len(aps) if aps else 0.0
+    print("=== acceptance bands ===")
+    print(f"  train GAP >= 0.995 first at step: {capture.first_converged_step}"
+          f" (recorded ~590); last logged: {capture.last}")
+    print(f"  held-out Hit@1 {epoch.get('avg_hit_at_one'):.3f} (recorded 0.963)"
+          f" | PERR {epoch.get('avg_perr'):.3f} (0.823)"
+          f" | GAP {epoch.get('gap'):.3f} (0.759)"
+          f" | mAP {mean_ap:.3f} (0.783)")
+
+    ok = True
+
+    def expect(cond, msg):
+        nonlocal ok
+        print(f"  [{'ok' if cond else 'FAIL'}] {msg}")
+        ok = ok and cond
+
+    expect(capture.first_converged_step is not None
+           and capture.first_converged_step <= 700,
+           "train GAP reaches 0.995 by step 700")
+    expect(epoch.get("avg_hit_at_one", 0.0) >= 0.95,
+           "held-out student Hit@1 >= 0.95")
+    expect(epoch.get("gap", 0.0) >= 0.74, "held-out student GAP >= 0.74")
+    if not ok:
+        print("ACCEPTANCE RUN FAILED")
+        sys.exit(1)
+    print("acceptance bands: OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,51 @@ def test_pwe_loss_runs(batch):
     assert np.isfinite(got)
 
 
+def test_pwe_faithful_gradients_match_literal_matrix_loss():
+    """Faithful PWELoss gradients == tf.gradients through the
+    reference's MATRIX-valued loss (losses.py:62-84): slim's
+    create_train_op backpropagates a ones cotangent through the
+    accumulated [V, V] matrix, i.e. the gradient of its SUM."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    B, V = 128, 64  # the hardcoded batch; small vocab for the literal path
+    preds = jnp.asarray(rng.uniform(0.05, 0.95, size=(B, V)), jnp.float32)
+    labels = jnp.asarray(rng.uniform(size=(B, V)) < 0.1)
+
+    def literal_matrix_loss_sum(p):
+        """Transcription of the reference loop: accumulate the per-example
+        normalized [V, V] matrices, /128, then the ones-cotangent sum."""
+        p = jnp.reshape(p, (128, V))
+        lab = jnp.reshape(labels.astype(jnp.float32), (128, V))
+        loss = jnp.zeros((V, V), jnp.float32)
+        for i in range(128):
+            pi, li = p[i], lab[i]
+            pn_pairs = pi[:, None] * (1.0 - pi)[None, :]
+            opon_pairs = li[:, None] - li[None, :]
+            inside = pn_pairs * jnp.exp(-opon_pairs)
+            loss = loss + inside / (jnp.sum(pi) * jnp.sum(1.0 - pi))
+        return jnp.sum(loss / 128.0)
+
+    fn = losses.get_loss("PWELoss")
+    got_val = fn(preds, labels, faithful_quirks=True)
+    want_val = literal_matrix_loss_sum(preds)
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
+
+    g_got = jax.grad(lambda p: fn(p, labels, faithful_quirks=True))(preds)
+    g_want = jax.grad(literal_matrix_loss_sum)(preds)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_pwe_faithful_rejects_non_128_batch():
+    fn = losses.get_loss("PWELoss")
+    preds = jnp.ones((64, 32)) * 0.5
+    labels = jnp.zeros((64, 32), bool)
+    with pytest.raises(TypeError):
+        fn(preds, labels, faithful_quirks=True)
+
+
 def test_representation_loss():
     t = jnp.asarray([[1.0, 2.0], [0.0, 0.0]])
     s = jnp.asarray([[0.0, 0.0], [3.0, 4.0]])

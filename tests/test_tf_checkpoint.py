@@ -254,6 +254,81 @@ def test_import_student_state_without_adam(tmp_path):
     assert int(restored.opt_student.count) == 0  # no slots -> fresh Adam
 
 
+@pytest.mark.parametrize("add_bn", [True, False])
+def test_import_dbof_student_state(tmp_path, add_bn):
+    """DBoF TF-V2 bundles import with the reference's UNNAMED-Variable
+    ordering (cluster_weights -> [cluster_biases] -> hidden1_weights ->
+    [hidden1_biases], frame_level_models.py:145-187), slim batch_norm
+    moving stats mapped, and the MoE head at the bare scope (DBoF calls
+    the video-level model without a 'classifier' variable_scope)."""
+    import jax
+
+    cfg = _tiny_cfg().replace(model="DbofModel", dbof_cluster_size=10,
+                              dbof_hidden_size=6, dbof_add_batch_norm=add_bn)
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    golden = student_state_from_distill(init_distill_state(cfg, opt), opt)
+    params = jax.device_get(golden.params_student)
+    # make BN stats distinctive so the mapping is actually exercised
+    if add_bn:
+        rng = np.random.default_rng(3)
+        for bn in ("input_bn", "cluster_bn", "hidden1_bn"):
+            for k in params[bn]:
+                params[bn][k] = rng.normal(
+                    size=params[bn][k].shape).astype(np.float32)
+
+    scope = "model_student"
+    tensors = {"global_step": np.int64(7)}
+    k = [0]
+
+    def unnamed(val):
+        name = (f"{scope}/Variable" if k[0] == 0
+                else f"{scope}/Variable_{k[0]}")
+        k[0] += 1
+        tensors[name] = np.asarray(val)
+
+    unnamed(params["cluster"]["w"])
+    if not add_bn:
+        unnamed(params["cluster"]["b"])
+    unnamed(params["hidden1"]["w"])
+    if not add_bn:
+        unnamed(params["hidden1"]["b"])
+    if add_bn:
+        for bn in ("input_bn", "cluster_bn", "hidden1_bn"):
+            tensors[f"{scope}/{bn}/gamma"] = np.asarray(params[bn]["scale"])
+            tensors[f"{scope}/{bn}/beta"] = np.asarray(params[bn]["offset"])
+            tensors[f"{scope}/{bn}/moving_mean"] = np.asarray(
+                params[bn]["moving_mean"])
+            tensors[f"{scope}/{bn}/moving_variance"] = np.asarray(
+                params[bn]["moving_var"])
+    tensors[f"{scope}/gates/weights"] = moe_weights_to_tf(
+        np.asarray(params["classifier"]["gates"]["w"]))
+    tensors[f"{scope}/experts/weights"] = moe_weights_to_tf(
+        np.asarray(params["classifier"]["experts"]["w"]))
+    tensors[f"{scope}/experts/biases"] = moe_bias_to_tf(
+        np.asarray(params["classifier"]["experts"]["b"]))
+
+    g = tf.Graph()
+    with g.as_default():
+        tf_vars = {n: tf.get_variable(n, initializer=v)
+                   for n, v in tensors.items()}
+        saver = tf.train.Saver(tf_vars)
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            prefix = saver.save(sess, os.path.join(str(tmp_path), "model.ckpt"),
+                                global_step=7, write_meta_graph=False)
+
+    template = student_state_from_distill(
+        init_distill_state(cfg, opt, rng=__import__("jax").random.PRNGKey(9)),
+        opt)
+    restored = restore_checkpoint(prefix, template)
+    flat_got = jax.tree_util.tree_flatten_with_path(restored.params_student)[0]
+    flat_want = jax.tree_util.tree_flatten_with_path(params)[0]
+    for (pg, got), (pw, want) in zip(flat_got, flat_want):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=str(pg))
+    assert int(restored.global_step) == 7
+
+
 def test_latest_checkpoint_reads_reference_pointer_file(tmp_path):
     cfg = _tiny_cfg()
     opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
