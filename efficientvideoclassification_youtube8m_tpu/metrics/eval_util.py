@@ -163,10 +163,13 @@ def perr_precision_on_device(predictions, labels):
     then hits are counted by thresholding — no argsort and no [B, V]
     gathers (which cost ~50 ms at batch 512 on v5e; this form is ~3 ms,
     an 18x eval-path win). Scores strictly above tau are in the top-n by
-    definition; of the tau-ties, only (n - #above) fit, and tied LABEL
-    entries fill that capacity first (the reference's argpartition picks
-    an arbitrary tie member, so any deterministic tie rule is equally
-    faithful; sigmoid scores tie only at saturation)."""
+    definition; of the tau-ties, only (n - #above) fit. The reference's
+    argpartition keeps an ARBITRARY subset of the ties, so the unbiased
+    rule here apportions the capacity proportionally — the expectation
+    of a uniform tie pick (capacity * tied_hits / tied_count). Exact
+    whenever scores don't tie at the boundary; unbiased (rather than
+    systematically optimistic) when they do — relevant because bf16
+    compute quantizes near-saturated sigmoids into exact ties."""
     import jax.numpy as jnp
 
     labels_f = labels.astype(jnp.float32)
@@ -182,8 +185,11 @@ def perr_precision_on_device(predictions, labels):
     hits_above = jnp.sum(labels_f * above * positive, axis=1)
     count_above = jnp.sum(above, axis=1).astype(jnp.float32)
     tied_label_hits = jnp.sum(labels_f * tied * positive, axis=1)
+    tied_count = jnp.sum(tied, axis=1).astype(jnp.float32)
     capacity = jnp.maximum(n.astype(jnp.float32) - count_above, 0.0)
-    hits = hits_above + jnp.minimum(capacity, tied_label_hits)
+    hits = hits_above + capacity * tied_label_hits / jnp.maximum(
+        tied_count, 1.0
+    )
     return jnp.where(n > 0, hits / jnp.maximum(n, 1).astype(jnp.float32), 0.0)
 
 

@@ -182,6 +182,19 @@ def test_exact_perr_with_many_label_videos():
     assert abs(info_approx["perr"] - info_full["perr"]) > 1e-6
 
 
+def test_perr_precision_on_device_tie_apportionment():
+    """Boundary ties share the remaining top-n capacity proportionally —
+    the EXPECTATION of the reference argpartition's arbitrary tie pick,
+    rather than the systematically optimistic labels-first fill."""
+    preds = jnp.asarray([[0.9, 0.5, 0.5, 0.5, 0.5]])
+    labels = np.zeros((1, 5))
+    labels[0, [0, 1]] = 1  # n=2: one hit above tau, one labeled tie of 4
+    row = float(np.asarray(
+        metrics.perr_precision_on_device(preds, jnp.asarray(labels)))[0])
+    # hits = 1 (score 0.9) + capacity 1 * (1 labeled tie / 4 ties) = 1.25
+    np.testing.assert_allclose(row, 1.25 / 2.0)
+
+
 def test_perr_precision_on_device_zero_labels():
     preds = jnp.asarray(np.random.default_rng(0).uniform(size=(3, 10)))
     labels = np.zeros((3, 10))
