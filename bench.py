@@ -210,19 +210,31 @@ def run_eval(batch_size: int, compute_dtype: str):
         fn, lambda: float(holder["out"]["per_example_loss"][0]), batch_size
     )
 
-    # end-to-end: device step + host-side epoch metric accumulation on
-    # the fetched [B, top_k] rows (the real cli/eval inner loop), with
-    # the deferred epoch finalize included in the measured window
+    # end-to-end: device step + host-side epoch metric accumulation (the
+    # real cli/eval inner loop: one packed D2H transfer per batch,
+    # fetched one batch LAGGED so the round trip overlaps device
+    # compute), with the deferred epoch finalize in the measured window
+    from efficientvideoclassification_youtube8m_tpu.parallel import distributed
+
     evl = EvaluationMetrics(cfg.num_classes, cfg.top_k)
     iters = 20
+
+    def drain(out):
+        rows = distributed.gather_step_outputs(out, labels, 0)
+        evl.accumulate_topk(
+            rows["topk_val"], rows["topk_idx"], rows["labels"],
+            rows["per_example_loss"],
+            perr_precision=rows["perr_precision"],
+        )
+
     t0 = time.perf_counter()
+    pending = None
     for _ in range(iters):
         out = step(params, f, l, n)
-        evl.accumulate_topk(
-            np.asarray(out["topk_val"]), np.asarray(out["topk_idx"]),
-            labels, np.asarray(out["per_example_loss"]),
-            perr_precision=np.asarray(out["perr_precision"]),
-        )
+        if pending is not None:
+            drain(pending)
+        pending = out
+    drain(pending)
     epoch = evl.get()
     assert np.isfinite(epoch["gap"])
     e2e_rate = batch_size * iters / (time.perf_counter() - t0)

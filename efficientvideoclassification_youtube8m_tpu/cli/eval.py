@@ -64,10 +64,11 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
 
     examples_processed = 0
     start = time.time()
-    for (f, l, n), (labels, pad) in device_prefetch(
-            distributed.sync_host_streams(loader, "eval"),
-            mesh, host_keep=lambda b: (b.labels, b.pad)):
-        out = step_fn(params_student, f, l, n)
+
+    def drain(out, labels, pad):
+        """Fetch + accumulate one batch's outputs (one packed D2H
+        transfer, gather_step_outputs)."""
+        nonlocal examples_processed
         rows = distributed.gather_step_outputs(out, labels, pad)
         info = evl_metrics.accumulate_topk(
             rows["topk_val"], rows["topk_idx"], rows["labels"],
@@ -77,6 +78,20 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         info["examples_per_second"] = examples_processed / (time.time() - start)
         logger.info(summary_lib.add_global_step_summary(
             writer, global_step_val, info, summary_scope="Eval"))
+
+    # one-batch-lagged fetch: dispatch batch k+1 BEFORE pulling batch
+    # k's outputs, so the device->host round trip overlaps device
+    # compute (device_prefetch already overlaps the H2D side)
+    pending = None
+    for (f, l, n), (labels, pad) in device_prefetch(
+            distributed.sync_host_streams(loader, "eval"),
+            mesh, host_keep=lambda b: (b.labels, b.pad)):
+        out = step_fn(params_student, f, l, n)
+        if pending is not None:
+            drain(*pending)
+        pending = (out, labels, pad)
+    if pending is not None:
+        drain(*pending)
     epoch_data = evl_metrics.get()
     epoch_data["epoch_id"] = global_step_val
     logger.info(summary_lib.add_epoch_summary(

@@ -55,10 +55,9 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
     )
     examples_processed = 0
     start = time.time()
-    for (f, l, n), (labels, pad) in device_prefetch(
-            distributed.sync_host_streams(loader, "eval"), mesh,
-            host_keep=lambda b: (b.labels, b.pad)):
-        out = step_fn(state.params_teacher, state.params_student, f, l, n)
+
+    def drain(out, labels, pad):
+        nonlocal examples_processed
         # this host's rows of the global outputs, gathered into the
         # global valid-row stream (passthrough single-process)
         rows = distributed.gather_step_outputs(out, labels, pad)
@@ -75,6 +74,19 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
             ),
             float(out["student_loss_state"]),
         )
+
+    # one-batch-lagged fetch: the D2H round trip (one packed transfer,
+    # gather_step_outputs) overlaps the next batch's device compute
+    pending = None
+    for (f, l, n), (labels, pad) in device_prefetch(
+            distributed.sync_host_streams(loader, "eval"), mesh,
+            host_keep=lambda b: (b.labels, b.pad)):
+        out = step_fn(state.params_teacher, state.params_student, f, l, n)
+        if pending is not None:
+            drain(*pending)
+        pending = (out, labels, pad)
+    if pending is not None:
+        drain(*pending)
     epoch_data = evl_metrics.get()
     epoch_data["epoch_id"] = global_step_val
     logger.info(

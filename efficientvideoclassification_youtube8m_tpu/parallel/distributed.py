@@ -301,15 +301,29 @@ def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.nda
 def gather_step_outputs(out: Dict[str, Any], labels, pad: int) -> Dict[str, np.ndarray]:
     """The eval CLIs' shared per-batch assembly: this host's rows of the
     step outputs + its labels, gathered into the global valid-row stream
-    (cli/validate.py and cli/eval.py accumulate from the result)."""
-    rows, _ = gather_eval_rows(
-        {
+    (cli/validate.py and cli/eval.py accumulate from the result).
+
+    When the step supplies "host_pack" ([B, 2k+2], train/step.py:
+    _pack_host_outputs), everything crosses the device->host edge in ONE
+    transfer and is unpacked here — fetch round trips are the eval
+    loop's critical path on high-latency links."""
+    if "host_pack" in out:
+        pack = np.asarray(local_rows(out["host_pack"]))
+        k = (pack.shape[1] - 2) // 2
+        fields = {
+            "topk_val": pack[:, :k],
+            "topk_idx": pack[:, k:2 * k].astype(np.int32),
+            "per_example_loss": pack[:, 2 * k],
+            "perr_precision": pack[:, 2 * k + 1],
+            "labels": labels,
+        }
+    else:
+        fields = {
             "topk_val": local_rows(out["topk_val"]),
             "topk_idx": local_rows(out["topk_idx"]),
             "per_example_loss": local_rows(out["per_example_loss"]),
             "perr_precision": local_rows(out["perr_precision"]),
             "labels": labels,
-        },
-        pad,
-    )
+        }
+    rows, _ = gather_eval_rows(fields, pad)
     return rows

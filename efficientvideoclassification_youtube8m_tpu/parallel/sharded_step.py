@@ -73,6 +73,7 @@ def _eval_metric_shardings(mesh: Mesh, with_losses: bool = False):
         "topk_val": rows2,
         "topk_idx": rows2,
         "perr_precision": rows1,
+        "host_pack": rows2,
     }
     if with_losses:
         out.update({k: rep for k in _DISTILL_SCALARS})
@@ -284,6 +285,7 @@ def build_shardmap_eval_step(
         "topk_val": P(DATA_AXIS, None),
         "topk_idx": P(DATA_AXIS, None),
         "perr_precision": P(DATA_AXIS),
+        "host_pack": P(DATA_AXIS, None),
     }
     mapped = jax.shard_map(
         step, mesh=mesh, in_specs=batch_specs, out_specs=out_specs,

@@ -561,6 +561,21 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
     return step
 
 
+def _pack_host_outputs(topk_val, topk_idx, per_example_loss, perr):
+    """[B, 2k+2] f32: topk values | topk indices | per-example CE | PERR.
+    The eval CLIs fetch this ONE buffer per batch (parallel/distributed.
+    gather_step_outputs unpacks it)."""
+    return jnp.concatenate(
+        [
+            topk_val.astype(jnp.float32),
+            topk_idx.astype(jnp.float32),
+            per_example_loss.astype(jnp.float32)[:, None],
+            perr.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
 def _faithful_eval_rngs(cfg: TrainConfig, num_frames):
     """Eval-time frame-sampling rngs for DBoF under faithful mode.
 
@@ -608,6 +623,7 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
             perr_precision_on_device,
         )
 
+        perr = perr_precision_on_device(out_s["predictions"], labels)
         return {
             **ls,
             "predictions": out_s["predictions"],
@@ -615,9 +631,13 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
             "topk_val": topk_val,
             "topk_idx": topk_idx,
             # exact per-video PERR over the full score row (eval_util.py:34-59)
-            "perr_precision": perr_precision_on_device(
-                out_s["predictions"], labels
-            ),
+            "perr_precision": perr,
+            # everything the host consumes per batch in ONE [B, 2k+2]
+            # buffer: a single device->host transfer per batch instead of
+            # four (each fetch is a full round trip on high-latency
+            # links; float32 carries top-k indices exactly for V < 2^24)
+            "host_pack": _pack_host_outputs(topk_val, topk_idx,
+                                            per_example_loss, perr),
         }
 
     return step
@@ -666,14 +686,16 @@ def build_eval_step(cfg: TrainConfig, top_k: int = 20,
             perr_precision_on_device,
         )
 
+        perr = perr_precision_on_device(out_s["predictions"], labels)
         return {
             "predictions": out_s["predictions"],
             "per_example_loss": per_example_loss,
             "topk_val": topk_val,
             "topk_idx": topk_idx,
-            "perr_precision": perr_precision_on_device(
-                out_s["predictions"], labels
-            ),
+            "perr_precision": perr,
+            # one-transfer host bundle (see build_validate_step)
+            "host_pack": _pack_host_outputs(topk_val, topk_idx,
+                                            per_example_loss, perr),
         }
 
     return step

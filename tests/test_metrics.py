@@ -204,6 +204,31 @@ def test_perr_precision_on_device_zero_labels():
     assert 0.0 <= rows[0] <= 1.0
 
 
+def test_eval_step_host_pack_round_trip():
+    """The packed single-transfer host bundle unpacks to exactly the
+    individual step outputs (gather_step_outputs)."""
+    from efficientvideoclassification_youtube8m_tpu.parallel import distributed
+    from efficientvideoclassification_youtube8m_tpu.train.step import (
+        _pack_host_outputs,
+    )
+
+    rng = np.random.default_rng(4)
+    B, k = 6, 5
+    vals = jnp.asarray(rng.uniform(size=(B, k)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 4716, size=(B, k)), jnp.int32)
+    loss = jnp.asarray(rng.uniform(size=(B,)), jnp.float32)
+    perr = jnp.asarray(rng.uniform(size=(B,)), jnp.float32)
+    labels = rng.uniform(size=(B, 30)) < 0.2
+    out = {"host_pack": _pack_host_outputs(vals, idx, loss, perr)}
+    rows = distributed.gather_step_outputs(out, labels, pad=0)
+    np.testing.assert_array_equal(rows["topk_val"], np.asarray(vals))
+    np.testing.assert_array_equal(rows["topk_idx"], np.asarray(idx))
+    assert rows["topk_idx"].dtype == np.int32
+    np.testing.assert_array_equal(rows["per_example_loss"], np.asarray(loss))
+    np.testing.assert_array_equal(rows["perr_precision"], np.asarray(perr))
+    np.testing.assert_array_equal(rows["labels"], labels)
+
+
 def test_map_calculator_validation():
     with pytest.raises(ValueError):
         metrics.MeanAveragePrecisionCalculator(1)
