@@ -104,6 +104,7 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
 def evaluate(args):
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_eval_step,
+        build_sharded_quantized_eval_step,
         create_mesh,
         distributed,
     )
@@ -126,11 +127,33 @@ def evaluate(args):
         mesh, _PLACED,
     )
     aggregated = not args.frame_features
-    step_fn = build_sharded_eval_step(
-        cfg, mesh, template.params_student, top_k=args.top_k,
-        # frame path: the loader strides frames at the parser
-        host_subsampled=not aggregated, aggregated=aggregated,
-    )
+    quantize = getattr(args, "quantize", "none")
+    if quantize == "int8":
+        # evaluate the int8 SERVING numerics at scale (the deploy-gate
+        # workflow): quantize each restored checkpoint's student params
+        # once, run the int8 forward through the same epoch machinery
+        if aggregated:
+            raise ValueError("--quantize int8 is the frame-level student path")
+        from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
+            quantize_hierarchical_params,
+        )
+
+        def prepare_params(params_student):
+            return quantize_hierarchical_params(
+                params_student, cfg.total_feature_size, cfg.lstm_cells,
+                cfg.lstm_layers)
+
+        step_fn = build_sharded_quantized_eval_step(
+            cfg, mesh, prepare_params(template.params_student),
+            top_k=args.top_k, host_subsampled=True,
+        )
+    else:
+        prepare_params = lambda p: p  # noqa: E731
+        step_fn = build_sharded_eval_step(
+            cfg, mesh, template.params_student, top_k=args.top_k,
+            # frame path: the loader strides frames at the parser
+            host_subsampled=not aggregated, aggregated=aggregated,
+        )
     writer = summary_lib.for_master(
         os.path.join(cfg.train_dir, "eval"), host.is_master
     )
@@ -147,7 +170,7 @@ def evaluate(args):
             logger.info("Loading checkpoint for eval: %s", ckpt)
             state = place_fields(restore_checkpoint(ckpt, template), mesh,
                                  _PLACED)
-            evaluation_loop(cfg, args, state.params_student,
+            evaluation_loop(cfg, args, prepare_params(state.params_student),
                             int(np.asarray(state.global_step)), step_fn, mesh,
                             writer, host)
             last_checkpoint = ckpt
@@ -160,6 +183,10 @@ def evaluate(args):
 def main(argv=None):
     flags_lib.setup_logging()
     parser = flags_lib.base_parser("Evaluate the finetuned student (TPU)")
+    parser.add_argument("--quantize", default="none",
+                        choices=["none", "int8"],
+                        help="int8: evaluate the quantized serving path "
+                        "(ops/quantize.py) — the deploy-gate accuracy check")
     args = parser.parse_args(argv)
     flags_lib.dump_flags(args, logger)
     evaluate(args)

@@ -86,9 +86,24 @@ def inference(args):
     # inference_bias.py:195-199; frame path strides frames on the host
     # (1/every_n the H2D bytes)
     aggregated = not args.frame_features
-    step_fn = build_sharded_eval_step(cfg, mesh, params, top_k=args.top_k,
-                                      host_subsampled=not aggregated,
-                                      aggregated=aggregated)
+    if getattr(args, "quantize", "none") == "int8":
+        if aggregated:
+            raise ValueError("--quantize int8 is the frame-level student path")
+        from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
+            quantize_hierarchical_params,
+        )
+        from efficientvideoclassification_youtube8m_tpu.parallel import (
+            build_sharded_quantized_eval_step,
+        )
+
+        params = quantize_hierarchical_params(
+            params, cfg.total_feature_size, cfg.lstm_cells, cfg.lstm_layers)
+        step_fn = build_sharded_quantized_eval_step(
+            cfg, mesh, params, top_k=args.top_k, host_subsampled=True)
+    else:
+        step_fn = build_sharded_eval_step(cfg, mesh, params, top_k=args.top_k,
+                                          host_subsampled=not aggregated,
+                                          aggregated=aggregated)
 
     loader_cls = AggregatedDataLoader if aggregated else FrameDataLoader
     loader = loader_cls(
@@ -137,6 +152,9 @@ def main(argv=None):
                         help="params path for bias rescaling, e.g. "
                         "classifier/experts/b")
     parser.add_argument("--alpha_bias", type=float, default=1.0)
+    parser.add_argument("--quantize", default="none",
+                        choices=["none", "int8"],
+                        help="int8: serve the quantized student path")
     args = parser.parse_args(argv)
     flags_lib.dump_flags(args, logger)
     inference(args)

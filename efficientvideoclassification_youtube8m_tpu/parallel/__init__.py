@@ -19,6 +19,7 @@ from efficientvideoclassification_youtube8m_tpu.parallel.sharded_step import (
     build_sharded_distill_step,
     build_sharded_eval_step,
     build_sharded_finetune_step,
+    build_sharded_quantized_eval_step,
     build_sharded_validate_step,
     place_fields,
     place_state,
@@ -42,6 +43,7 @@ __all__ = [
     "build_sharded_distill_step",
     "build_sharded_eval_step",
     "build_sharded_finetune_step",
+    "build_sharded_quantized_eval_step",
     "build_sharded_validate_step",
     "place_fields",
     "place_state",

@@ -24,6 +24,7 @@ from efficientvideoclassification_youtube8m_tpu.train.step import (
     build_distill_train_step,
     build_eval_step,
     build_finetune_step,
+    build_quantized_eval_step,
     build_validate_step,
 )
 from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
@@ -182,6 +183,26 @@ def build_sharded_eval_step(
     )
     fs, ls, ns = _batch_shardings(mesh, feature_ndim=2 if aggregated else 3)
     return jax.jit(step, in_shardings=(ps_shard, fs, ls, ns),
+                   out_shardings=_eval_metric_shardings(mesh))
+
+
+def build_sharded_quantized_eval_step(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    qparams_template: Any,
+    top_k: int = 20,
+    host_subsampled: bool = False,
+):
+    """int8 eval step (train/step.py:build_quantized_eval_step) under
+    the same DP batch shardings; the int8 params replicate (no TP —
+    per-column scales would need the same split as the kernels)."""
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError("--quantize int8 eval is data-parallel only")
+    step = build_quantized_eval_step(cfg, top_k,
+                                     host_subsampled=host_subsampled)
+    qp_shard = to_named(jax.tree.map(lambda _: P(), qparams_template), mesh)
+    fs, ls, ns = _batch_shardings(mesh)
+    return jax.jit(step, in_shardings=(qp_shard, fs, ls, ns),
                    out_shardings=_eval_metric_shardings(mesh))
 
 

@@ -610,37 +610,38 @@ def build_validate_step(cfg: TrainConfig, top_k: int = 20):
         out_s = forward_student(cfg, params_student, model_input_s, nf_student,
                                 labels, inference=True, rng=rng_s)
         ls = _distill_losses(cfg, out_t, out_s, labels, label_loss_fn)
-        # per-example CE for the epoch aggregator (validate.py:255-268)
-        eps = 10e-6
-        fl = labels.astype(jnp.float32)
-        per_example_loss = -jnp.sum(
-            fl * jnp.log(out_s["predictions"] + eps)
-            + (1 - fl) * jnp.log(1 - out_s["predictions"] + eps),
-            axis=1,
-        )
-        topk_val, topk_idx = jax.lax.top_k(out_s["predictions"], top_k)
-        from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
-            perr_precision_on_device,
-        )
-
-        perr = perr_precision_on_device(out_s["predictions"], labels)
-        return {
-            **ls,
-            "predictions": out_s["predictions"],
-            "per_example_loss": per_example_loss,
-            "topk_val": topk_val,
-            "topk_idx": topk_idx,
-            # exact per-video PERR over the full score row (eval_util.py:34-59)
-            "perr_precision": perr,
-            # everything the host consumes per batch in ONE [B, 2k+2]
-            # buffer: a single device->host transfer per batch instead of
-            # four (each fetch is a full round trip on high-latency
-            # links; float32 carries top-k indices exactly for V < 2^24)
-            "host_pack": _pack_host_outputs(topk_val, topk_idx,
-                                            per_example_loss, perr),
-        }
+        # per-example CE + device top-k + exact PERR + the packed
+        # single-transfer host bundle (validate.py:255-268)
+        return {**ls, **_eval_outputs(out_s["predictions"], labels, top_k)}
 
     return step
+
+
+def _eval_outputs(predictions, labels, top_k: int) -> Dict[str, Any]:
+    """The eval binaries' shared per-batch outputs: per-example CE,
+    device top-k, exact PERR, and the packed host bundle."""
+    eps = 10e-6
+    fl = labels.astype(jnp.float32)
+    per_example_loss = -jnp.sum(
+        fl * jnp.log(predictions + eps)
+        + (1 - fl) * jnp.log(1 - predictions + eps),
+        axis=1,
+    )
+    topk_val, topk_idx = jax.lax.top_k(predictions, top_k)
+    from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
+        perr_precision_on_device,
+    )
+
+    perr = perr_precision_on_device(predictions, labels)
+    return {
+        "predictions": predictions,
+        "per_example_loss": per_example_loss,
+        "topk_val": topk_val,
+        "topk_idx": topk_idx,
+        "perr_precision": perr,
+        "host_pack": _pack_host_outputs(topk_val, topk_idx,
+                                        per_example_loss, perr),
+    }
 
 
 def build_eval_step(cfg: TrainConfig, top_k: int = 20,
@@ -674,28 +675,39 @@ def build_eval_step(cfg: TrainConfig, top_k: int = 20,
             out_s = forward_student(cfg, params_student, model_input_s,
                                     nf_student, labels, inference=True,
                                     rng=rng_s, pallas_override=pallas_override)
-        eps = 10e-6
-        fl = labels.astype(jnp.float32)
-        per_example_loss = -jnp.sum(
-            fl * jnp.log(out_s["predictions"] + eps)
-            + (1 - fl) * jnp.log(1 - out_s["predictions"] + eps),
-            axis=1,
-        )
-        topk_val, topk_idx = jax.lax.top_k(out_s["predictions"], top_k)
-        from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
-            perr_precision_on_device,
+        return _eval_outputs(out_s["predictions"], labels, top_k)
+
+    return step
+
+
+def build_quantized_eval_step(cfg: TrainConfig, top_k: int = 20,
+                              host_subsampled: bool = False):
+    """build_eval_step with the int8 forward (ops/quantize.py): takes
+    QUANTIZED params (quantize_hierarchical_params); same outputs, so
+    the eval CLIs' epoch machinery is unchanged. Flagship
+    HierarchicalLstm + MoE only."""
+    from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
+        quantized_hierarchical_forward,
+    )
+
+    if (cfg.model != "HierarchicalLstmModel"
+            or cfg.video_level_classifier_model != "MoeModel"):
+        raise ValueError(
+            "--quantize int8 covers the flagship HierarchicalLstmModel "
+            "+ MoeModel configuration"
         )
 
-        perr = perr_precision_on_device(out_s["predictions"], labels)
-        return {
-            "predictions": out_s["predictions"],
-            "per_example_loss": per_example_loss,
-            "topk_val": topk_val,
-            "topk_idx": topk_idx,
-            "perr_precision": perr,
-            # one-transfer host bundle (see build_validate_step)
-            "host_pack": _pack_host_outputs(topk_val, topk_idx,
-                                            per_example_loss, perr),
-        }
+    def step(qparams, features_u8, labels, num_frames):
+        nf_student = student_num_frames(num_frames, cfg.every_n,
+                                        cfg.max_num_frames)
+        sub = (features_u8 if host_subsampled
+               else uniform_subsample(features_u8, cfg.every_n))
+        model_input_s = preprocess_batch(cfg, sub, nf_student)
+        predictions = quantized_hierarchical_forward(
+            qparams, model_input_s, nf_student, cfg.num_inputs_L1,
+            cfg.num_classes, cfg.moe_num_mixtures,
+            scan_unroll=cfg.scan_unroll,
+        )
+        return _eval_outputs(predictions, labels, top_k)
 
     return step

@@ -32,7 +32,7 @@ import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from efficientvideoclassification_youtube8m_tpu.data import (  # noqa: E402
+from efficientvideoclassification_youtube8m_tpu.data.yt8m import (  # noqa: E402
     write_learnable_frame_shard,
 )
 

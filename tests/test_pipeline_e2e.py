@@ -157,6 +157,38 @@ def test_05_eval(pipeline_dirs):
     ])
 
 
+def test_05b_eval_quantized_close_to_float(pipeline_dirs):
+    """cli.eval --quantize int8 (the deploy-gate accuracy check) runs the
+    full epoch machinery on the int8 forward and lands near the float
+    epoch metrics."""
+    from efficientvideoclassification_youtube8m_tpu.cli import eval as eval_cli
+    from efficientvideoclassification_youtube8m_tpu.metrics import eval_util
+
+    captured = {}
+    orig = eval_util.EvaluationMetrics.get
+
+    def capture(self):
+        data = orig(self)
+        captured.setdefault("runs", []).append(data)
+        return data
+
+    eval_util.EvaluationMetrics.get = capture
+    try:
+        for quant in ("none", "int8"):
+            eval_cli.main(TINY_FLAGS + [
+                "--train_dir", pipeline_dirs["finetune_dir"],
+                "--eval_data_pattern", pipeline_dirs["eval_pattern"],
+                "--run_once", "true",
+                "--quantize", quant,
+            ])
+    finally:
+        eval_util.EvaluationMetrics.get = orig
+    base, quant = captured["runs"]
+    assert abs(base["avg_hit_at_one"] - quant["avg_hit_at_one"]) <= 0.05
+    assert abs(base["gap"] - quant["gap"]) <= 0.05
+    assert np.isfinite(quant["avg_loss"])
+
+
 def test_06_infer_and_bias(pipeline_dirs):
     from efficientvideoclassification_youtube8m_tpu.cli import infer as infer_cli
     from efficientvideoclassification_youtube8m_tpu.ensemble import read_pred_file
