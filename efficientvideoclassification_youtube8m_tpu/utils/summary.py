@@ -155,8 +155,10 @@ def histogram_stats_on_device(leaf):
     if _DEVICE_HISTO_FN is None:
         # f32 limits: every limit beyond f32 range collapses to +/-inf,
         # which only affects values > 3.4e38 — unrepresentable in the f32
-        # parameters this consumes
-        limits = jnp.asarray(_BUCKET_LIMITS.astype(np.float32))
+        # parameters this consumes (errstate: the overflow in this cast
+        # is exactly the collapse we want, not a bug to warn about)
+        with np.errstate(over="ignore"):
+            limits = jnp.asarray(_BUCKET_LIMITS.astype(np.float32))
 
         def stats(x):
             x = x.ravel().astype(jnp.float32)

@@ -6,9 +6,10 @@ in CLAUDE.md).
 Recipe (r2 record): learnable synthetic data (label->byte-pattern
 mapping, data/yt8m.write_learnable_frame_shard) with vocab 256, 2048
 train / 512 held-out videos, flagship dims (HierarchicalLstm 2x1024,
-300 frames, 20 chunks, every_n 10), bf16, 20 epochs at batch 256
-through the REAL cli.train, then held-out STUDENT validation through
-cli.validate.
+300 frames, 20 chunks, every_n 10), bf16, 20 epochs at batch 128
+(16 batches/epoch -> 640 faithful global steps, matching the recorded
+"GAP 1.00 by ~step 590" trajectory) through the REAL cli.train, then
+held-out STUDENT validation through cli.validate.
 
 Recorded results: teacher hits train GAP 1.00 by ~step 590; held-out
 student Hit@1 0.963 / PERR 0.823 / mAP 0.783 / GAP 0.759.
@@ -69,25 +70,35 @@ def main():
     workdir = args.workdir or tempfile.mkdtemp(prefix="yt8m_acceptance_")
     data_dir = os.path.join(workdir, "yt8m")
     os.makedirs(data_dir, exist_ok=True)
-    print(f"writing learnable synthetic shards under {data_dir} ...")
     per_shard = 512
-    for s in range(TRAIN_VIDEOS // per_shard):
+    shards = [os.path.join(data_dir, f"train-{s:04d}.tfrecord")
+              for s in range(TRAIN_VIDEOS // per_shard)]
+    shards.append(os.path.join(data_dir, "validate-0000.tfrecord"))
+    if all(os.path.exists(p) for p in shards):
+        print(f"reusing existing shards under {data_dir}")
+    else:
+        print(f"writing learnable synthetic shards under {data_dir} ...")
+        for s in range(TRAIN_VIDEOS // per_shard):
+            write_learnable_frame_shard(
+                os.path.join(data_dir, f"train-{s:04d}.tfrecord"),
+                num_videos=per_shard, seed=s, vocab_size=VOCAB,
+            )
         write_learnable_frame_shard(
-            os.path.join(data_dir, f"train-{s:04d}.tfrecord"),
-            num_videos=per_shard, seed=s, vocab_size=VOCAB,
+            os.path.join(data_dir, "validate-0000.tfrecord"),
+            num_videos=HELDOUT_VIDEOS, seed=9, vocab_size=VOCAB,
         )
-    write_learnable_frame_shard(
-        os.path.join(data_dir, "validate-0000.tfrecord"),
-        num_videos=HELDOUT_VIDEOS, seed=9, vocab_size=VOCAB,
-    )
     train_dir = os.path.join(workdir, "model_train") + "/"
+    if os.path.isdir(train_dir):  # stale checkpoints would confuse validate
+        import shutil
+
+        shutil.rmtree(train_dir)
 
     flags = [
         "--feature_names", "rgb, audio",
         "--feature_sizes", "1024, 128",
         "--model", "HierarchicalLstmModel",
         "--num_classes", str(VOCAB),
-        "--batch_size", "256",
+        "--batch_size", "128",
         "--num_inputs_to_lstm", "20",
         "--lstm_cells", "1024",
         "--lstm_layers", "2",
