@@ -154,6 +154,24 @@ def test_int8_epoch_metrics_within_2e3_of_float():
     assert abs(q["gap"] - base["gap"]) <= 2e-3
 
 
+def test_int8_teacher_tower():
+    """quantize='int8' also serves the TEACHER tower (20 chunks)."""
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    p = Predictor(cfg, state.params_teacher, tower="teacher", serve_batch=8,
+                  quantize="int8")
+    rng = np.random.default_rng(5)
+    feats = rng.integers(0, 256, size=(8, cfg.max_num_frames,
+                                       cfg.total_feature_size), dtype=np.uint8)
+    nf = rng.integers(5, cfg.max_num_frames + 1, size=8).astype(np.int32)
+    probs = p.predict(feats, nf)
+    base = Predictor(cfg, state.params_teacher, tower="teacher",
+                     serve_batch=8).predict(feats, nf)
+    assert probs.shape == (8, cfg.num_classes)
+    assert np.max(np.abs(probs - base)) < 0.02
+
+
 def test_int8_predictor_guards():
     cfg = TINY.replace(model="DbofModel")
     opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
