@@ -256,15 +256,20 @@ def main():
                           "unit": "videos/s", "vs_baseline": 0}))
         sys.exit(1)
 
-    # secondary metrics: best-effort, never fail the bench
+    # secondary metrics: best-effort, never fail the bench.
+    # serving: batch 1024 amortizes the scan's non-matmul floor
+    # (measured 67.6k v/s vs 52.3k at 512 in bf16); larger batches
+    # plateau. Falls back if the remote AOT compiler rejects the shape.
     serving = serving_int8 = eval_tput = None
-    for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
+    for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
+                         (256, "bfloat16")]:
         try:
             serving = run_serving(batch, dtype)
             break
         except Exception as e:
             print(f"serving bench (batch={batch}) failed: {e}", file=sys.stderr)
-    for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
+    for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
+                         (256, "bfloat16")]:
         try:
             serving_int8 = run_serving(batch, dtype, quantize="int8")
             break
@@ -272,7 +277,8 @@ def main():
             print(f"int8 serving bench (batch={batch}) failed: {e}",
                   file=sys.stderr)
     eval_e2e = None
-    for batch, dtype in [(512, "bfloat16"), (256, "bfloat16")]:
+    for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
+                         (256, "bfloat16")]:
         try:
             eval_tput, eval_e2e = run_eval(batch, dtype)
             break

@@ -130,6 +130,39 @@ def quantized_multi_lstm_scan(qparams: List[dict], xs, seq_len,
     return jnp.concatenate(state_parts, axis=-1)
 
 
+def quantized_multi_lstm_scan_pallas(qparams: List[dict], xs, seq_len,
+                                     interpret: bool = False):
+    """Stacked int8 LSTM with the fused Pallas chunk kernel per layer
+    (ops/pallas/lstm_scan.py:_lstm_chunk_kernel_int8): the recurrent
+    int8 matmul + gate math run inside ONE kernel per layer, removing
+    the per-step XLA loop overhead that bounds the scan path. The input
+    projection stays outside as one big int8 XLA matmul. Inter-layer
+    outputs are bf16 (same as the bf16 Pallas path)."""
+    from efficientvideoclassification_youtube8m_tpu.ops.pallas import (
+        lstm_chunk_scan_pallas_int8,
+    )
+
+    B = xs.shape[0]
+    # tile 128: the int32 accumulator + quantization temporaries add
+    # ~5 MB of scoped VMEM over the bf16 kernel, so its 256-row tile
+    # OOMs the 16 MB budget here (measured on v5e)
+    tile = next((t for t in (128, 64, 32, 16, 8) if B % t == 0), None)
+    if tile is None:
+        return quantized_multi_lstm_scan(qparams, xs, seq_len)
+    layer_in = jnp.swapaxes(xs, 0, 1)  # [T, B, D] time-major
+    state_parts = []
+    for qp in qparams:
+        x_proj = int8_dot(layer_in.astype(jnp.float32),
+                          qp["wx_q"], qp["wx_scale"])  # [T, B, 4H] f32
+        outs, c_fin, h_fin = lstm_chunk_scan_pallas_int8(
+            x_proj, qp["wh_q"], qp["wh_scale"], qp["bias"], seq_len,
+            tile_b=tile, interpret=interpret,
+        )
+        state_parts.extend([c_fin, h_fin])
+        layer_in = outs
+    return jnp.concatenate(state_parts, axis=-1)
+
+
 # --- MoE classifier ------------------------------------------------------
 
 def quantize_moe(params: Dict[str, Any]):
@@ -178,14 +211,18 @@ def quantize_hierarchical_params(params: Dict[str, Any], input_size: int,
 def quantized_hierarchical_forward(
     qparams, model_input: jax.Array, num_frames: jax.Array,
     num_chunks: int, vocab_size: int, num_mixtures: int,
-    scan_unroll: int = 1,
+    scan_unroll: int = 1, use_pallas: bool = False,
 ):
     """HierarchicalLstmModel.apply (models/frame_level.py:70-151) with
     every matmul on the int8 MXU path. Inference only (no dropout, no
-    losses); returns predictions [B, vocab]."""
+    losses); returns predictions [B, vocab]. `use_pallas` fuses each
+    layer's T-step recurrence into one kernel (single-device TPU)."""
     B, T, D = model_input.shape
     assert T % num_chunks == 0, (T, num_chunks)
     chunk_len = T // num_chunks
+    scan = (quantized_multi_lstm_scan_pallas if use_pallas
+            else lambda qp, xs, seq: quantized_multi_lstm_scan(
+                qp, xs, seq, unroll=scan_unroll))
 
     x_chunks = model_input.reshape(B * num_chunks, chunk_len, D)
     chunk_starts = chunk_len * jnp.arange(num_chunks, dtype=jnp.int32)
@@ -193,17 +230,13 @@ def quantized_hierarchical_forward(
         num_frames.astype(jnp.int32)[:, None] - chunk_starts[None, :],
         0, chunk_len,
     ).reshape(B * num_chunks)
-    l1_state = quantized_multi_lstm_scan(
-        qparams["rnn_l1"], x_chunks, seq_l1, unroll=scan_unroll
-    )
+    l1_state = scan(qparams["rnn_l1"], x_chunks, seq_l1)
 
     l2_input = l1_state.reshape(B, num_chunks, -1)
     seq_l2 = jnp.ceil(
         num_frames.astype(jnp.float32) / float(chunk_len)
     ).astype(jnp.int32)
-    state = quantized_multi_lstm_scan(
-        qparams["rnn_l2"], l2_input, seq_l2, unroll=scan_unroll
-    )
+    state = scan(qparams["rnn_l2"], l2_input, seq_l2)
     return quantized_moe_apply(
         qparams["classifier"], state, vocab_size, num_mixtures
     )

@@ -153,6 +153,13 @@ class Predictor:
         self.params = jax.device_put(quantize_hierarchical_params(
             params, cfg.total_feature_size, cfg.lstm_cells, cfg.lstm_layers
         ))
+        # fused int8 Pallas recurrence on single-chip TPU (Pallas is
+        # opaque to GSPMD, same rule as the bf16 inference path)
+        use_pallas = (
+            cfg.use_pallas_inference
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+        )
 
         def fwd(qparams, features_u8, num_frames):
             if tower == "student":
@@ -163,7 +170,7 @@ class Predictor:
             return quantized_hierarchical_forward(
                 qparams, model_input, num_frames, num_chunks,
                 cfg.num_classes, cfg.moe_num_mixtures,
-                scan_unroll=cfg.scan_unroll,
+                scan_unroll=cfg.scan_unroll, use_pallas=use_pallas,
             )
 
         return jax.jit(fwd)

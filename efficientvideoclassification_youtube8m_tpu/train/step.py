@@ -697,6 +697,14 @@ def build_quantized_eval_step(cfg: TrainConfig, top_k: int = 20,
             "+ MoeModel configuration"
         )
 
+    # fused int8 Pallas recurrence on single-chip TPU (opaque to GSPMD,
+    # same eligibility rule as the bf16 inference path)
+    use_pallas = (
+        cfg.use_pallas_inference
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+    )
+
     def step(qparams, features_u8, labels, num_frames):
         nf_student = student_num_frames(num_frames, cfg.every_n,
                                         cfg.max_num_frames)
@@ -706,7 +714,7 @@ def build_quantized_eval_step(cfg: TrainConfig, top_k: int = 20,
         predictions = quantized_hierarchical_forward(
             qparams, model_input_s, nf_student, cfg.num_inputs_L1,
             cfg.num_classes, cfg.moe_num_mixtures,
-            scan_unroll=cfg.scan_unroll,
+            scan_unroll=cfg.scan_unroll, use_pallas=use_pallas,
         )
         return _eval_outputs(predictions, labels, top_k)
 
