@@ -301,3 +301,21 @@ def test_step_timer():
     stats = t.stats()
     assert set(stats) == {"p50_ms", "p90_ms", "mean_ms"}
     assert len(t._times) == 3
+
+
+def test_dequantize_bit_identical_formula():
+    """utils.Dequantize (reference utils.py:Dequantize): with
+    max=2, min=-2 the formula is x * range/255 + (range/512 + min)
+    = x*(4/255) + (4/512 - 2). Pinned bit-for-bit over all 256 bytes."""
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+        dequantize,
+    )
+
+    x = np.arange(256, dtype=np.uint8)
+    got = np.asarray(dequantize(jnp.asarray(x)))
+    want = (x.astype(np.float32) * np.float32(4.0 / 255.0)
+            + (np.float32(4.0 / 512.0) - np.float32(2.0)))
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.float32
