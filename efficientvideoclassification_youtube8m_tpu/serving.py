@@ -140,8 +140,9 @@ class Predictor:
             quantized_hierarchical_forward,
         )
 
-        if mesh is not None or sequence_parallel:
-            raise ValueError("quantize='int8' serving is single-device")
+        if sequence_parallel:
+            raise ValueError(
+                "quantize='int8' + sequence_parallel is not supported")
         if (cfg.model != "HierarchicalLstmModel"
                 or cfg.video_level_classifier_model != "MoeModel"):
             raise ValueError(
@@ -153,12 +154,14 @@ class Predictor:
         self.params = jax.device_put(quantize_hierarchical_params(
             params, cfg.total_feature_size, cfg.lstm_cells, cfg.lstm_layers
         ))
-        # fused int8 Pallas recurrence on single-chip TPU (Pallas is
-        # opaque to GSPMD, same rule as the bf16 inference path)
+        # the fused int8 Pallas recurrence is opaque to GSPMD; it runs
+        # single-chip under plain jit, or under shard_map (explicit
+        # per-device programs) for data-parallel meshes — same rule as
+        # the bf16 inference path
         use_pallas = (
             cfg.use_pallas_inference
             and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
+            and (mesh is not None or jax.device_count() == 1)
         )
 
         def fwd(qparams, features_u8, num_frames):
@@ -173,7 +176,18 @@ class Predictor:
                 scan_unroll=cfg.scan_unroll, use_pallas=use_pallas,
             )
 
-        return jax.jit(fwd)
+        if mesh is None:
+            return jax.jit(fwd)
+        # data-parallel int8 serving: replicated int8 params, batch rows
+        # over "data"; per-device programs keep the fused kernel eligible
+        from jax.sharding import PartitionSpec as P
+
+        mapped = jax.shard_map(
+            fwd, mesh=mesh,
+            in_specs=(P(), P("data", None, None), P("data")),
+            out_specs=P("data", None), check_vma=False,
+        )
+        return jax.jit(mapped)
 
     @staticmethod
     def _build_sequence_parallel_fwd(cfg: TrainConfig, mesh, tower: str):

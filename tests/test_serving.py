@@ -148,3 +148,19 @@ def test_mesh_data_parallel_predict_parity(dirs):
     np.testing.assert_allclose(dp.predict(feats, nf),
                                base.predict(feats, nf),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_data_parallel_int8_predict_parity(dirs):
+    """int8 serving under a data-parallel mesh (shard_map per-device
+    programs): same predictions as the single-device int8 path."""
+    from efficientvideoclassification_youtube8m_tpu.parallel import create_mesh
+
+    _, finetune_dir, _, _ = dirs
+    base = Predictor.from_checkpoint(finetune_dir, CFG, serve_batch=8,
+                                     quantize="int8")
+    dp = Predictor.from_checkpoint(finetune_dir, CFG, serve_batch=8,
+                                   mesh=create_mesh(), quantize="int8")
+    feats, nf = _batch(8, seed=7)
+    np.testing.assert_allclose(dp.predict(feats, nf),
+                               base.predict(feats, nf),
+                               rtol=1e-5, atol=1e-6)
