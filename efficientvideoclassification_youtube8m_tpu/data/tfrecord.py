@@ -42,8 +42,32 @@ for _ in range(3):
     _TABLES.append((prev >> 8) ^ _TABLE[prev & 0xFF])
 
 
+_NATIVE_CRC = [False, None]  # (resolved?, fn-or-None)
+
+
+def _native_crc():
+    """The C slice-by-8 CRC32C (data/native, ~1.1 GB/s vs ~1.3 MB/s for
+    the table loop below) — resolved lazily to dodge the import cycle
+    and fall back cleanly without a compiler."""
+    if not _NATIVE_CRC[0]:
+        fn = None
+        try:
+            from efficientvideoclassification_youtube8m_tpu.data import native
+
+            if native.available():
+                fn = native.crc32c
+        except ImportError:
+            pass
+        _NATIVE_CRC[:] = [True, fn]
+    return _NATIVE_CRC[1]
+
+
 def crc32c(data: bytes, crc: int = 0) -> int:
-    """Software CRC32C. Processes 4 bytes per step via numpy tables."""
+    """CRC32C; the C kernel when built, numpy tables otherwise."""
+    if crc == 0:
+        native = _native_crc()
+        if native is not None:
+            return native(data)
     crc = (~crc) & 0xFFFFFFFF
     buf = np.frombuffer(data, dtype=np.uint8)
     n4 = len(buf) // 4
