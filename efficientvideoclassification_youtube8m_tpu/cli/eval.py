@@ -134,6 +134,16 @@ def evaluate(args):
         # once, run the int8 forward through the same epoch machinery
         if aggregated:
             raise ValueError("--quantize int8 is the frame-level student path")
+        if (cfg.model != "HierarchicalLstmModel"
+                or cfg.video_level_classifier_model != "MoeModel"):
+            # guard BEFORE touching params: quantize_hierarchical_params
+            # would KeyError on a non-flagship tree
+            raise ValueError(
+                "--quantize int8 covers the flagship HierarchicalLstmModel "
+                "+ MoeModel configuration"
+            )
+        import jax
+
         from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
             quantize_hierarchical_params,
         )
@@ -144,7 +154,10 @@ def evaluate(args):
                 cfg.lstm_layers)
 
         step_fn = build_sharded_quantized_eval_step(
-            cfg, mesh, prepare_params(template.params_student),
+            cfg, mesh,
+            # structure-only template: no device quantization of the
+            # random init
+            jax.eval_shape(prepare_params, template.params_student),
             top_k=args.top_k, host_subsampled=True,
         )
     else:

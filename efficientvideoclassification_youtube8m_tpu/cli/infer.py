@@ -89,6 +89,14 @@ def inference(args):
     if getattr(args, "quantize", "none") == "int8":
         if aggregated:
             raise ValueError("--quantize int8 is the frame-level student path")
+        if (cfg.model != "HierarchicalLstmModel"
+                or cfg.video_level_classifier_model != "MoeModel"):
+            # guard BEFORE touching params: quantize_hierarchical_params
+            # would KeyError on a non-flagship tree
+            raise ValueError(
+                "--quantize int8 covers the flagship HierarchicalLstmModel "
+                "+ MoeModel configuration"
+            )
         from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
             quantize_hierarchical_params,
         )

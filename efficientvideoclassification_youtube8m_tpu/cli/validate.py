@@ -110,6 +110,16 @@ def evaluate(args):
 
     distributed.initialize()  # no-op single-process
     cfg = flags_lib.config_from_args(args)
+    if not args.frame_features:
+        # like cli.train: the teacher+student validate graph structurally
+        # needs frame features (the reference's validate.py has no
+        # aggregated-reader branch at all); video-level models evaluate
+        # through cli.eval --frame_features=False
+        raise ValueError(
+            "--frame_features=False: validation runs both distillation "
+            "towers and requires frame-level features. Evaluate "
+            "video-level models with cli.eval --frame_features=False."
+        )
     host = distributed.host_context(cfg.batch_size)
     from efficientvideoclassification_youtube8m_tpu.parallel import place_fields
 

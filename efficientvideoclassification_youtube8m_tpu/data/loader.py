@@ -285,11 +285,9 @@ class AggregatedBatch:
 class AggregatedDataLoader(FrameDataLoader):
     """Video-level (pre-aggregated Example) loader — the rebuild of
     `YT8MAggregatedFeatureReader` (readers.py:53-112). Reuses the frame
-    loader's thread/shuffle machinery; only parsing + assembly differ."""
-
-    def __init__(self, *args, **kwargs):
-        kwargs.setdefault("use_native", False)  # aggregated shards are small
-        super().__init__(*args, **kwargs)
+    loader's thread/shuffle machinery; only parsing + assembly differ
+    (the `_iter_file` override never consults the native FRAME parser,
+    whatever `use_native` was passed)."""
 
     def _iter_file(self, path: str):
         for record in TFRecordReader(path):

@@ -120,14 +120,22 @@ def _label_count_reductions(labels: np.ndarray, need_rows: bool):
     return pos, rows
 
 
+def _class_segments(sorted_classes):
+    """(unique class ids, segment starts, segment ends) of a
+    class-sorted array — the contiguous per-class slices after
+    _class_sorted."""
+    uniq, starts = np.unique(sorted_classes, return_index=True)
+    ends = np.append(starts[1:], sorted_classes.size)
+    return uniq, starts, ends
+
+
 def _group_by_class(flat_classes, flat_preds, flat_labels, num_classes):
     """Per-class score/label lists via one stable argsort instead of a
     Python loop over every (video, rank) entry."""
     sc, sp, sl = _class_sorted(flat_classes, flat_preds, flat_labels)
     out_predictions: List[List[float]] = [[] for _ in range(num_classes)]
     out_labels: List[List[float]] = [[] for _ in range(num_classes)]
-    uniq, starts = np.unique(sc, return_index=True)
-    ends = np.append(starts[1:], sc.size)
+    uniq, starts, ends = _class_segments(sc)
     for c, s, e in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
         out_predictions[c] = list(sp[s:e])
         out_labels[c] = list(sl[s:e])
@@ -385,8 +393,7 @@ class EvaluationMetrics:
         else:
             gcalc.accumulate(preds, acts, pos.sum())
         sc, sp, sa = _class_sorted(classes, preds, acts)
-        uniq, starts = np.unique(sc, return_index=True)
-        ends = np.append(starts[1:], sc.size)
+        uniq, starts, ends = _class_segments(sc)
         calcs = self.map_calculator._ap_calculators
         present = np.zeros(self.num_class, bool)
         present[uniq] = True

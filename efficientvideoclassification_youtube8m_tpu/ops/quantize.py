@@ -131,6 +131,7 @@ def quantized_multi_lstm_scan(qparams: List[dict], xs, seq_len,
 
 
 def quantized_multi_lstm_scan_pallas(qparams: List[dict], xs, seq_len,
+                                     unroll: int = 1,
                                      interpret: bool = False):
     """Stacked int8 LSTM with the fused Pallas chunk kernel per layer
     (ops/pallas/lstm_scan.py:_lstm_chunk_kernel_int8): the recurrent
@@ -148,7 +149,7 @@ def quantized_multi_lstm_scan_pallas(qparams: List[dict], xs, seq_len,
     # OOMs the 16 MB budget here (measured on v5e)
     tile = next((t for t in (128, 64, 32, 16, 8) if B % t == 0), None)
     if tile is None:
-        return quantized_multi_lstm_scan(qparams, xs, seq_len)
+        return quantized_multi_lstm_scan(qparams, xs, seq_len, unroll=unroll)
     layer_in = jnp.swapaxes(xs, 0, 1)  # [T, B, D] time-major
     state_parts = []
     for qp in qparams:
@@ -220,7 +221,8 @@ def quantized_hierarchical_forward(
     B, T, D = model_input.shape
     assert T % num_chunks == 0, (T, num_chunks)
     chunk_len = T // num_chunks
-    scan = (quantized_multi_lstm_scan_pallas if use_pallas
+    scan = ((lambda qp, xs, seq: quantized_multi_lstm_scan_pallas(
+                qp, xs, seq, unroll=scan_unroll)) if use_pallas
             else lambda qp, xs, seq: quantized_multi_lstm_scan(
                 qp, xs, seq, unroll=scan_unroll))
 

@@ -151,12 +151,17 @@ def main():
 
     aps = epoch.get("aps") or []
     mean_ap = sum(aps) / len(aps) if aps else 0.0
+    hit = epoch.get("avg_hit_at_one", 0.0)
+    perr = epoch.get("avg_perr", 0.0)
+    gap = epoch.get("gap", 0.0)
     print("=== acceptance bands ===")
+    if not epoch:
+        print("  validation produced NO epoch data (empty eval stream?)")
     print(f"  train GAP >= 0.995 first at step: {capture.first_converged_step}"
           f" (recorded ~590); last logged: {capture.last}")
-    print(f"  held-out Hit@1 {epoch.get('avg_hit_at_one'):.3f} (recorded 0.963)"
-          f" | PERR {epoch.get('avg_perr'):.3f} (0.823)"
-          f" | GAP {epoch.get('gap'):.3f} (0.759)"
+    print(f"  held-out Hit@1 {hit:.3f} (recorded 0.963)"
+          f" | PERR {perr:.3f} (0.823)"
+          f" | GAP {gap:.3f} (0.759)"
           f" | mAP {mean_ap:.3f} (0.783)")
 
     ok = True

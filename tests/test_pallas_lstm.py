@@ -133,7 +133,7 @@ def test_int8_pallas_forward_close_to_float():
 
     orig = qmod.quantized_multi_lstm_scan_pallas
     qmod.quantized_multi_lstm_scan_pallas = (
-        lambda qp, x, s: orig(qp, x, s, interpret=True))
+        lambda qp, x, s, **kw: orig(qp, x, s, interpret=True))
     try:
         got_pl = np.asarray(qz.quantized_hierarchical_forward(
             qparams, xs, nfs, cfg.num_inputs_L1, cfg.num_classes,
