@@ -103,10 +103,11 @@ class HierarchicalLstmModel:
 
             def scan_fn(p, xs, seq):
                 bsz = xs.shape[0]
-                # tile_b=256 is the largest that fits VMEM (w_h 8MB +
-                # double-buffered x 4MB + carries ~3MB); 512 OOMs.
+                # tile_b=128 measured fastest on v5e (5.63 ms vs 5.87 at
+                # 256 and 6.02 at 64 on the student L1 layer pair) —
+                # lighter VMEM pressure overlaps the x-proj DMAs better
                 tile = next(
-                    (t for t in (256, 128, 64, 32, 16, 8) if bsz % t == 0),
+                    (t for t in (128, 64, 32, 16, 8) if bsz % t == 0),
                     None,
                 )
                 if tile is None:

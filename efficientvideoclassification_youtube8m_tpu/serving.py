@@ -287,11 +287,18 @@ class Predictor:
                 ) -> np.ndarray:
         """features_u8 [B, max_frames, D] uint8, num_frames [B] ->
         probabilities [B, vocab]. Requests are padded to serve_batch so
-        any B reuses one compiled program."""
+        any B reuses one compiled program.
+
+        Multi-chunk requests are PIPELINED: chunk k+1 is dispatched
+        before chunk k's result is pulled to the host, so the H2D
+        transfer, device compute, and D2H fetch of consecutive chunks
+        overlap (jax dispatch is async) — the same one-step lag the CLI
+        loops use."""
         B = features_u8.shape[0]
         if self._host_stride > 1:
             features_u8 = host_subsample(features_u8, self._host_stride)
         out = []
+        pending = None  # (device preds, valid row count)
         for start in range(0, B, self.serve_batch):
             chunk = features_u8[start : start + self.serve_batch]
             nf = num_frames[start : start + self.serve_batch]
@@ -303,8 +310,13 @@ class Predictor:
                 )
                 nf = np.concatenate([nf, np.zeros(pad, nf.dtype)])
             preds = self._fwd(self.params, jnp.asarray(chunk), jnp.asarray(nf))
-            out.append(np.asarray(preds)[:n])
-        return np.concatenate(out, axis=0)
+            if pending is not None:
+                out.append(np.asarray(pending[0])[: pending[1]])
+            pending = (preds, n)
+        if pending is not None:
+            out.append(np.asarray(pending[0])[: pending[1]])
+        return np.concatenate(out, axis=0) if out else np.zeros(
+            (0, self.cfg.num_classes), np.float32)
 
     def predict_topk(self, features_u8, num_frames, k: int = 20
                      ) -> Tuple[np.ndarray, np.ndarray]:
