@@ -91,6 +91,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan_unroll", type=int, default=15)
     p.add_argument("--use_pallas_inference", type=_bool, default=True)
+    p.add_argument("--lstm_pallas_train", type=_bool, default=False,
+                   help="fused Pallas train kernels (custom-VJP fwd/bwd "
+                   "scans); single-chip bf16 opt-in")
     p.add_argument("--faithful_quirks", type=_bool, default=True)
     p.add_argument("--model_parallelism", type=int, default=1,
                    help="size of the 'model' mesh axis (tensor parallelism)")

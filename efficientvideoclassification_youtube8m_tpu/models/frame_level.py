@@ -81,6 +81,7 @@ class HierarchicalLstmModel:
         rng: Optional[jax.Array] = None,
         scan_unroll: int = 1,
         use_pallas: bool = False,
+        pallas_train: bool = False,
         **classifier_kwargs,
     ) -> Dict[str, Any]:
         B, T, D = model_input.shape
@@ -92,7 +93,21 @@ class HierarchicalLstmModel:
                 p, xs, seq, compute_dtype=compute_dtype, unroll=scan_unroll,
             )
 
-        if use_pallas:
+        if pallas_train:
+            # differentiable fused kernels (--lstm_pallas_train): the
+            # sequential fwd/bwd chains run in one Pallas kernel per
+            # layer/direction; the dW/dx matmuls stay XLA
+            from efficientvideoclassification_youtube8m_tpu.ops.pallas.lstm_scan import (
+                multi_lstm_scan_train_pallas,
+            )
+
+            def scan_fn(p, xs, seq):
+                # tile 64: the train fwd kernel's extra residual streams
+                # overflow the 16MB scoped-VMEM budget at tile 128
+                if xs.shape[0] % 64:
+                    return xla_scan_fn(p, xs, seq)
+                return multi_lstm_scan_train_pallas(p, xs, seq, tile_b=64)
+        elif use_pallas:
             # fused inference kernel (forward-only, bf16):
             # ops/pallas/lstm_scan.py. Mosaic needs batch tiles with a
             # multiple-of-8 sublane dim — fall back to the XLA scan for

@@ -177,6 +177,245 @@ def lstm_chunk_scan_pallas(
     return outs, c_fin, h_fin
 
 
+# ---------------------------------------------------------------------
+# Train-mode kernels: a forward that additionally streams the bf16 gate
+# pre-activations and masked cell states (the residuals the backward
+# needs), and a fused backward that runs the reversed dh/dc chain with
+# the per-step gate-derivative math and the dgates @ Wh^T matmul in ONE
+# kernel — removing the per-step XLA loop overhead from the backward
+# scan the same way the inference kernels do for the forward. The big
+# weight-gradient matmuls (dWh, dWx, dxs) stay outside as single XLA
+# matmuls over the whole [B*T] axis.
+# ---------------------------------------------------------------------
+
+
+def _lstm_chunk_kernel_train_fwd(
+    seq_ref,  # [TILE_B, 1] int32 VMEM
+    bias_ref,  # [1, 4H] f32 VMEM
+    wh_ref,  # [H, 4H] bf16 VMEM
+    xp_hbm,  # [T, B, 4H] bf16 ANY (streamed)
+    outs_hbm,  # [T, B, H] bf16 ANY (streamed; masked h_t)
+    gates_hbm,  # [T, B, 4H] bf16 ANY (streamed; pre-activations)
+    cs_hbm,  # [T, B, H] bf16 ANY (streamed; masked c_t)
+    cfin_ref,  # [TILE_B, H] f32 VMEM
+    hfin_ref,  # [TILE_B, H] f32 VMEM
+    xbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
+    obuf,  # VMEM scratch (2, TILE_B, H) bf16
+    gbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
+    cbuf,  # VMEM scratch (2, TILE_B, H) bf16
+    in_sems,
+    out_sems,
+    g_sems,
+    c_sems,
+    *,
+    T: int,
+    tile_b: int,
+    forget_bias: float,
+):
+    i = pl.program_id(0)
+    row0 = i * tile_b
+    H = wh_ref.shape[0]
+
+    def in_dma(slot, t):
+        return pltpu.make_async_copy(
+            xp_hbm.at[t, pl.ds(row0, tile_b), :], xbuf.at[slot],
+            in_sems.at[slot],
+        )
+
+    def out_dma(buf, hbm, sems, slot, t):
+        return pltpu.make_async_copy(
+            buf.at[slot], hbm.at[t, pl.ds(row0, tile_b), :], sems.at[slot]
+        )
+
+    in_dma(0, 0).start()
+
+    seq = seq_ref[:]
+    bias = bias_ref[:]
+    c0 = jnp.zeros((tile_b, H), jnp.float32)
+    h0 = jnp.zeros((tile_b, H), jnp.float32)
+
+    def step(t, carry):
+        c, h = carry
+
+        @pl.when(t + 1 < T)
+        def _():
+            in_dma((t + 1) % 2, t + 1).start()
+
+        in_dma(t % 2, t).wait()
+        gates = (
+            xbuf[t % 2].astype(jnp.float32)
+            + bias
+            + jnp.dot(h.astype(jnp.bfloat16), wh_ref[:],
+                      preferred_element_type=jnp.float32)
+        )
+        i_g = gates[:, :H]
+        j_g = gates[:, H : 2 * H]
+        f_g = gates[:, 2 * H : 3 * H]
+        o_g = gates[:, 3 * H :]
+        new_c = c * jax.nn.sigmoid(f_g + forget_bias) + jax.nn.sigmoid(
+            i_g
+        ) * jnp.tanh(j_g)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+        valid = t < seq
+        c = jnp.where(valid, new_c, c)
+        h = jnp.where(valid, new_h, h)
+
+        @pl.when(t >= 2)
+        def _():
+            out_dma(obuf, outs_hbm, out_sems, t % 2, t - 2).wait()
+            out_dma(gbuf, gates_hbm, g_sems, t % 2, t - 2).wait()
+            out_dma(cbuf, cs_hbm, c_sems, t % 2, t - 2).wait()
+
+        obuf[t % 2] = jnp.where(valid, new_h, 0.0).astype(jnp.bfloat16)
+        gbuf[t % 2] = gates.astype(jnp.bfloat16)
+        cbuf[t % 2] = c.astype(jnp.bfloat16)
+        out_dma(obuf, outs_hbm, out_sems, t % 2, t).start()
+        out_dma(gbuf, gates_hbm, g_sems, t % 2, t).start()
+        out_dma(cbuf, cs_hbm, c_sems, t % 2, t).start()
+        return (c, h)
+
+    c_fin, h_fin = jax.lax.fori_loop(0, T, step, (c0, h0), unroll=True)
+    cfin_ref[:] = c_fin
+    hfin_ref[:] = h_fin
+
+    @pl.when(T >= 2)
+    def _():
+        out_dma(obuf, outs_hbm, out_sems, (T - 2) % 2, T - 2).wait()
+        out_dma(gbuf, gates_hbm, g_sems, (T - 2) % 2, T - 2).wait()
+        out_dma(cbuf, cs_hbm, c_sems, (T - 2) % 2, T - 2).wait()
+
+    out_dma(obuf, outs_hbm, out_sems, (T - 1) % 2, T - 1).wait()
+    out_dma(gbuf, gates_hbm, g_sems, (T - 1) % 2, T - 1).wait()
+    out_dma(cbuf, cs_hbm, c_sems, (T - 1) % 2, T - 1).wait()
+
+
+def _lstm_chunk_kernel_train_bwd(
+    seq_ref,  # [TILE_B, 1] int32 VMEM
+    dcfin_ref,  # [TILE_B, H] f32 VMEM
+    dhfin_ref,  # [TILE_B, H] f32 VMEM
+    wht_ref,  # [4H, H] bf16 VMEM (Wh transposed)
+    gates_hbm,  # [T, B, 4H] bf16 ANY (fwd residual)
+    cs_hbm,  # [T, B, H] bf16 ANY (fwd residual, masked c_t)
+    douts_hbm,  # [T, B, H] bf16 ANY (output cotangents)
+    dgates_hbm,  # [T, B, 4H] bf16 ANY (result stream)
+    gbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
+    cbuf,  # VMEM scratch (2, TILE_B, H) bf16  (c_t)
+    cpbuf,  # VMEM scratch (2, TILE_B, H) bf16  (c_{t-1})
+    dobuf,  # VMEM scratch (2, TILE_B, H) bf16
+    dgbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
+    g_sems,
+    c_sems,
+    cp_sems,
+    do_sems,
+    dg_sems,
+    *,
+    T: int,
+    tile_b: int,
+    forget_bias: float,
+):
+    """Reversed loop k = 0..T-1 over t = T-1-k; carries (dc, dh)."""
+    i = pl.program_id(0)
+    row0 = i * tile_b
+    H = wht_ref.shape[1]
+
+    def in_dma(buf, hbm, sems, slot, t):
+        return pltpu.make_async_copy(
+            hbm.at[t, pl.ds(row0, tile_b), :], buf.at[slot], sems.at[slot]
+        )
+
+    def cp_dma(slot, t):
+        # c_{t-1} = cs[t-1]; t == 0 handled by zeroing in the step
+        return pltpu.make_async_copy(
+            cs_hbm.at[jnp.maximum(t - 1, 0), pl.ds(row0, tile_b), :],
+            cpbuf.at[slot], cp_sems.at[slot],
+        )
+
+    def dg_dma(slot, t):
+        return pltpu.make_async_copy(
+            dgbuf.at[slot], dgates_hbm.at[t, pl.ds(row0, tile_b), :],
+            dg_sems.at[slot],
+        )
+
+    t0 = T - 1
+    in_dma(gbuf, gates_hbm, g_sems, 0, t0).start()
+    in_dma(cbuf, cs_hbm, c_sems, 0, t0).start()
+    in_dma(dobuf, douts_hbm, do_sems, 0, t0).start()
+    cp_dma(0, t0).start()
+
+    seq = seq_ref[:]
+    dc0 = dcfin_ref[:]
+    dh0 = dhfin_ref[:]
+
+    def step(k, carry):
+        dc, dh = carry
+        t = T - 1 - k
+        slot = k % 2
+
+        @pl.when(k + 1 < T)
+        def _():
+            nxt = (k + 1) % 2
+            in_dma(gbuf, gates_hbm, g_sems, nxt, t - 1).start()
+            in_dma(cbuf, cs_hbm, c_sems, nxt, t - 1).start()
+            in_dma(dobuf, douts_hbm, do_sems, nxt, t - 1).start()
+            cp_dma(nxt, t - 1).start()
+
+        in_dma(gbuf, gates_hbm, g_sems, slot, t).wait()
+        in_dma(cbuf, cs_hbm, c_sems, slot, t).wait()
+        in_dma(dobuf, douts_hbm, do_sems, slot, t).wait()
+        cp_dma(slot, t).wait()
+
+        gates = gbuf[slot].astype(jnp.float32)
+        c_t = cbuf[slot].astype(jnp.float32)
+        c_prev = jnp.where(t > 0, cpbuf[slot].astype(jnp.float32), 0.0)
+        d_out = dobuf[slot].astype(jnp.float32)
+
+        i_g = gates[:, :H]
+        j_g = gates[:, H : 2 * H]
+        f_g = gates[:, 2 * H : 3 * H]
+        o_g = gates[:, 3 * H :]
+        sig_i = jax.nn.sigmoid(i_g)
+        tanh_j = jnp.tanh(j_g)
+        sig_f = jax.nn.sigmoid(f_g + forget_bias)
+        sig_o = jax.nn.sigmoid(o_g)
+        tanh_c = jnp.tanh(c_t)
+
+        valid = t < seq
+        dnew_h = jnp.where(valid, dh + d_out, 0.0)
+        dnew_c = jnp.where(valid, dc, 0.0) + dnew_h * sig_o * (
+            1.0 - tanh_c * tanh_c
+        )
+        d_i = dnew_c * tanh_j * sig_i * (1.0 - sig_i)
+        d_j = dnew_c * sig_i * (1.0 - tanh_j * tanh_j)
+        d_f = dnew_c * c_prev * sig_f * (1.0 - sig_f)
+        d_o = dnew_h * tanh_c * sig_o * (1.0 - sig_o)
+        dgates = jnp.concatenate([d_i, d_j, d_f, d_o], axis=-1)
+
+        dh_prev = jnp.dot(
+            dgates.astype(jnp.bfloat16), wht_ref[:],
+            preferred_element_type=jnp.float32,
+        ) + jnp.where(valid, 0.0, dh)
+        dc_prev = dnew_c * sig_f + jnp.where(valid, 0.0, dc)
+
+        @pl.when(k >= 2)
+        def _():
+            dg_dma(slot, T - 1 - (k - 2)).wait()
+
+        dgbuf[slot] = dgates.astype(jnp.bfloat16)
+        dg_dma(slot, t).start()
+        return (dc_prev, dh_prev)
+
+    dc_fin, dh_fin = jax.lax.fori_loop(0, T, step, (dc0, dh0), unroll=True)
+    # reuse the cotangent refs as outputs for (dc_0, dh_0)? No — separate
+    # outputs would need more refs; the wrapper only consumes dgates (the
+    # input cotangent d_xs comes from dgates @ Wx^T, and the initial
+    # state is constant zero so dc_0/dh_0 are discarded).
+    @pl.when(T >= 2)
+    def _():
+        dg_dma((T - 2) % 2, T - 1 - (T - 2)).wait()
+
+    dg_dma((T - 1) % 2, 0).wait()
+
+
 def _lstm_chunk_kernel_int8(
     seq_ref,  # [TILE_B, 1] int32 VMEM
     bias_ref,  # [1, 4H] f32 VMEM
@@ -336,6 +575,198 @@ def lstm_chunk_scan_pallas_int8(
         x_proj_tm.astype(jnp.bfloat16),
     )
     return outs, c_fin, h_fin
+
+
+def _train_fwd_pallas(kernel, bias, xs_tm, seq_len, forget_bias, tile_b,
+                      interpret):
+    """x-projection (XLA) + the train fwd kernel. xs_tm is [T, B, D]
+    time-major. Returns (outs_tm bf16, c_fin, h_fin, gates_tm, cs_tm)."""
+    T, B, D = xs_tm.shape
+    H = kernel.shape[-1] // 4
+    G = 4 * H
+    w_x = kernel[:D].astype(jnp.bfloat16)
+    x_proj = jax.lax.dot_general(
+        xs_tm.astype(jnp.bfloat16), w_x,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.bfloat16,
+    )
+    fwd = functools.partial(
+        _lstm_chunk_kernel_train_fwd, T=T, tile_b=tile_b,
+        forget_bias=forget_bias,
+    )
+    outs, gates, cs, c_fin, h_fin = pl.pallas_call(
+        fwd,
+        grid=(B // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # outs
+            pl.BlockSpec(memory_space=pl.ANY),  # gates
+            pl.BlockSpec(memory_space=pl.ANY),  # cs
+            pl.BlockSpec((tile_b, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, B, G), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, B, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
+            pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
+            pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
+            pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        seq_len.astype(jnp.int32).reshape(B, 1),
+        bias.astype(jnp.float32).reshape(1, G),
+        kernel[D:].astype(jnp.bfloat16),
+        x_proj,
+    )
+    return outs, gates, cs, c_fin, h_fin
+
+
+def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
+                                 interpret: bool = False):
+    """Build fn(kernel, bias, xs, seq_len) -> (outs [B,T,H] bf16, c_fin,
+    h_fin) whose VJP runs the fused Pallas backward. The weight/input
+    gradients are three big XLA matmuls over the dgates stream; the
+    sequential dh/dc chain and all gate-derivative math run in ONE
+    kernel (no per-step XLA loop overhead)."""
+
+    @jax.custom_vjp
+    def layer(kernel, bias, xs, seq_len):
+        xs_tm = jnp.swapaxes(xs, 0, 1)
+        outs, _, _, c_fin, h_fin = _train_fwd_pallas(
+            kernel, bias, xs_tm, seq_len, forget_bias, tile_b, interpret
+        )
+        return jnp.swapaxes(outs, 0, 1), c_fin, h_fin
+
+    def fwd(kernel, bias, xs, seq_len):
+        xs_tm = jnp.swapaxes(xs, 0, 1)
+        outs, gates, cs, c_fin, h_fin = _train_fwd_pallas(
+            kernel, bias, xs_tm, seq_len, forget_bias, tile_b, interpret
+        )
+        res = (kernel, xs_tm, seq_len, outs, gates, cs)
+        return (jnp.swapaxes(outs, 0, 1), c_fin, h_fin), res
+
+    def bwd(res, cotangents):
+        kernel, xs_tm, seq_len, outs_tm, gates_tm, cs_tm = res
+        d_outs, d_cfin, d_hfin = cotangents
+        T, B, D = xs_tm.shape
+        H = kernel.shape[-1] // 4
+        G = 4 * H
+        w_x = kernel[:D].astype(jnp.bfloat16)
+        w_h = kernel[D:].astype(jnp.bfloat16)
+
+        bwd_k = functools.partial(
+            _lstm_chunk_kernel_train_bwd, T=T, tile_b=tile_b,
+            forget_bias=forget_bias,
+        )
+        (dgates_tm,) = pl.pallas_call(
+            bwd_k,
+            grid=(B // tile_b,),
+            in_specs=[
+                pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, H), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_b, H), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((G, H), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # gates
+                pl.BlockSpec(memory_space=pl.ANY),  # cs
+                pl.BlockSpec(memory_space=pl.ANY),  # d_outs
+            ],
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_shape=[jax.ShapeDtypeStruct((T, B, G), jnp.bfloat16)],
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
+                pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
+                pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
+                pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
+                pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(
+            seq_len.astype(jnp.int32).reshape(B, 1),
+            d_cfin.astype(jnp.float32),
+            d_hfin.astype(jnp.float32),
+            jnp.swapaxes(w_h, 0, 1),  # [4H, H]
+            gates_tm,
+            cs_tm,
+            jnp.swapaxes(d_outs, 0, 1).astype(jnp.bfloat16),
+        )
+
+        # h_{t-1} stream: the masked outputs shifted by one step
+        h_prev_tm = jnp.concatenate(
+            [jnp.zeros((1, B, H), outs_tm.dtype), outs_tm[:-1]], axis=0
+        )
+        flat_dg = dgates_tm.reshape(T * B, G)
+        d_wh = jax.lax.dot_general(
+            h_prev_tm.reshape(T * B, H), flat_dg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_wx = jax.lax.dot_general(
+            xs_tm.reshape(T * B, D).astype(jnp.bfloat16), flat_dg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_kernel = jnp.concatenate([d_wx, d_wh], axis=0)
+        d_bias = jnp.sum(flat_dg.astype(jnp.float32), axis=0)
+        d_xs_tm = jax.lax.dot_general(
+            flat_dg, w_x,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(T, B, D)
+        d_xs = jnp.swapaxes(d_xs_tm, 0, 1)
+        return d_kernel, d_bias, d_xs, None
+
+    layer.defvjp(fwd, bwd)
+    return layer
+
+
+def multi_lstm_scan_train_pallas(
+    params: Sequence[dict],
+    xs: jax.Array,  # [B, T, D]
+    seq_len: jax.Array,
+    forget_bias: float = 1.0,
+    tile_b: int = 64,
+    interpret: bool = False,
+):
+    """Differentiable stacked-LSTM forward with the fused train kernels;
+    returns the [c0, h0, c1, h1, ...] final state like multi_lstm_scan."""
+    state_parts = []
+    layer_in = xs
+    for p in params:
+        layer_fn = make_lstm_layer_train_pallas(forget_bias, tile_b,
+                                                interpret)
+        outs, c_fin, h_fin = layer_fn(p["kernel"], p["bias"], layer_in,
+                                      seq_len)
+        state_parts.extend([c_fin, h_fin])
+        layer_in = outs
+    return jnp.concatenate(state_parts, axis=-1)
 
 
 def multi_lstm_scan_pallas(

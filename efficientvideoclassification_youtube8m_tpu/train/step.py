@@ -85,6 +85,15 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
         "scan_unroll": cfg.scan_unroll,
     }
     kw["is_training"] = not inference
+    if not inference:
+        # fused Pallas train kernels: opt-in, bf16, single chip (Pallas
+        # is opaque to GSPMD)
+        kw["pallas_train"] = (
+            getattr(cfg, "lstm_pallas_train", False)
+            and cfg.compute_dtype == "bfloat16"
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
+        )
     if cfg.model == "DbofModel":
         # DBoF's flag block (frame_level_models.py:119-124); sampling uses
         # the step-derived rng the towers already receive, so eval (rng

@@ -81,6 +81,9 @@ class TrainConfig:
     # fused Pallas LSTM kernel on the forward-only (eval/infer) paths;
     # auto-disabled off-TPU and in float32 mode
     use_pallas_inference: bool = True
+    # fused Pallas TRAIN kernels (custom-VJP fwd/bwd chunk scans) —
+    # opt-in measurement vehicle; single-chip bf16 only
+    lstm_pallas_train: bool = False
     faithful_quirks: bool = True  # L_REP double-count + global_step += 2
     use_native_io: bool = True
     # synced (cross-shard) batch-norm moments under the shard_map train

@@ -145,3 +145,35 @@ def test_int8_pallas_forward_close_to_float():
         cfg.moe_num_mixtures, use_pallas=False))
     np.testing.assert_allclose(got, want, atol=0.02)
     np.testing.assert_allclose(got_pl, want, atol=0.03)
+
+
+def test_train_pallas_grad_parity_vs_scan_ad():
+    """The fused train kernels' custom VJP matches XLA scan AD: values
+    exactly (same fwd math), gradients within bf16-residual tolerance."""
+    from efficientvideoclassification_youtube8m_tpu.ops.pallas.lstm_scan import (
+        multi_lstm_scan_train_pallas,
+    )
+
+    params = init_multi_lstm(jax.random.PRNGKey(7), 12, 8, 2)
+    xs = jnp.asarray(np.random.default_rng(6).normal(size=(8, 15, 12)),
+                     jnp.float32)
+    seq = jnp.array([0, 1, 3, 7, 15, 15, 10, 2], jnp.int32)
+    tgt = jnp.asarray(np.random.default_rng(7).normal(size=(8, 32)),
+                      jnp.float32)
+
+    def loss(p, pallas):
+        if pallas:
+            s = multi_lstm_scan_train_pallas(p, xs, seq, tile_b=8,
+                                             interpret=True)
+        else:
+            s = multi_lstm_scan(p, xs, seq, compute_dtype=jnp.bfloat16)
+        return jnp.sum((s - tgt) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for layer in range(2):
+        for k in ("kernel", "bias"):
+            a, b = np.asarray(g0[layer][k]), np.asarray(g1[layer][k])
+            scale = max(np.abs(a).max(), 1e-6)
+            assert np.abs(a - b).max() / scale < 0.03, (layer, k)
