@@ -195,14 +195,14 @@ def _lstm_chunk_kernel_train_fwd(
     wh_ref,  # [H, 4H] bf16 VMEM
     xp_hbm,  # [T, B, 4H] bf16 ANY (streamed)
     outs_hbm,  # [T, B, H] bf16 ANY (streamed; masked h_t)
-    gates_hbm,  # [T, B, 4H] bf16 ANY (streamed; pre-activations)
-    cs_hbm,  # [T, B, H] bf16 ANY (streamed; masked c_t)
+    gates_hbm,  # [T, B, 4H] f32 ANY (streamed; pre-activations)
+    cs_hbm,  # [T, B, H] f32 ANY (streamed; masked c_t)
     cfin_ref,  # [TILE_B, H] f32 VMEM
     hfin_ref,  # [TILE_B, H] f32 VMEM
     xbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
     obuf,  # VMEM scratch (2, TILE_B, H) bf16
-    gbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
-    cbuf,  # VMEM scratch (2, TILE_B, H) bf16
+    gbuf,  # VMEM scratch (2, TILE_B, 4H) f32
+    cbuf,  # VMEM scratch (2, TILE_B, H) f32
     in_sems,
     out_sems,
     g_sems,
@@ -267,14 +267,14 @@ def _lstm_chunk_kernel_train_fwd(
             out_dma(cbuf, cs_hbm, c_sems, t % 2, t - 2).wait()
 
         obuf[t % 2] = jnp.where(valid, new_h, 0.0).astype(jnp.bfloat16)
-        gbuf[t % 2] = gates.astype(jnp.bfloat16)
-        cbuf[t % 2] = c.astype(jnp.bfloat16)
+        gbuf[t % 2] = gates
+        cbuf[t % 2] = c
         out_dma(obuf, outs_hbm, out_sems, t % 2, t).start()
         out_dma(gbuf, gates_hbm, g_sems, t % 2, t).start()
         out_dma(cbuf, cs_hbm, c_sems, t % 2, t).start()
         return (c, h)
 
-    c_fin, h_fin = jax.lax.fori_loop(0, T, step, (c0, h0), unroll=True)
+    c_fin, h_fin = jax.lax.fori_loop(0, T, step, (c0, h0))
     cfin_ref[:] = c_fin
     hfin_ref[:] = h_fin
 
@@ -294,15 +294,15 @@ def _lstm_chunk_kernel_train_bwd(
     dcfin_ref,  # [TILE_B, H] f32 VMEM
     dhfin_ref,  # [TILE_B, H] f32 VMEM
     wht_ref,  # [4H, H] bf16 VMEM (Wh transposed)
-    gates_hbm,  # [T, B, 4H] bf16 ANY (fwd residual)
-    cs_hbm,  # [T, B, H] bf16 ANY (fwd residual, masked c_t)
-    douts_hbm,  # [T, B, H] bf16 ANY (output cotangents)
-    dgates_hbm,  # [T, B, 4H] bf16 ANY (result stream)
-    gbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
-    cbuf,  # VMEM scratch (2, TILE_B, H) bf16  (c_t)
-    cpbuf,  # VMEM scratch (2, TILE_B, H) bf16  (c_{t-1})
-    dobuf,  # VMEM scratch (2, TILE_B, H) bf16
-    dgbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
+    gates_hbm,  # [T, B, 4H] f32 ANY (fwd residual)
+    cs_hbm,  # [T, B, H] f32 ANY (fwd residual, masked c_t)
+    douts_hbm,  # [T, B, H] f32 ANY (output cotangents)
+    dgates_hbm,  # [T, B, 4H] f32 ANY (result stream)
+    gbuf,  # VMEM scratch (2, TILE_B, 4H) f32
+    cbuf,  # VMEM scratch (2, TILE_B, H) f32  (c_t)
+    cpbuf,  # VMEM scratch (2, TILE_B, H) f32  (c_{t-1})
+    dobuf,  # VMEM scratch (2, TILE_B, H) f32
+    dgbuf,  # VMEM scratch (2, TILE_B, 4H) f32
     g_sems,
     c_sems,
     cp_sems,
@@ -364,10 +364,10 @@ def _lstm_chunk_kernel_train_bwd(
         in_dma(dobuf, douts_hbm, do_sems, slot, t).wait()
         cp_dma(slot, t).wait()
 
-        gates = gbuf[slot].astype(jnp.float32)
-        c_t = cbuf[slot].astype(jnp.float32)
-        c_prev = jnp.where(t > 0, cpbuf[slot].astype(jnp.float32), 0.0)
-        d_out = dobuf[slot].astype(jnp.float32)
+        gates = gbuf[slot]
+        c_t = cbuf[slot]
+        c_prev = jnp.where(t > 0, cpbuf[slot], 0.0)
+        d_out = dobuf[slot]
 
         i_g = gates[:, :H]
         j_g = gates[:, H : 2 * H]
@@ -390,21 +390,30 @@ def _lstm_chunk_kernel_train_bwd(
         d_o = dnew_h * tanh_c * sig_o * (1.0 - sig_o)
         dgates = jnp.concatenate([d_i, d_j, d_f, d_o], axis=-1)
 
-        dh_prev = jnp.dot(
-            dgates.astype(jnp.bfloat16), wht_ref[:],
-            preferred_element_type=jnp.float32,
-        ) + jnp.where(valid, 0.0, dh)
+        # XLA's scan AD runs this cotangent matmul in f32 (it upcasts
+        # the bf16 weight exactly); a plain bf16 cast of dgates would
+        # COMPOUND quantization noise through the sequential dh chain
+        # and measurably degrades convergence. Two-term hi/lo bf16
+        # split recovers ~f32 left-operand precision at 2x bf16 matmul
+        # cost (the weight side is exact: bf16 -> f32 is lossless).
+        dg_hi = dgates.astype(jnp.bfloat16)
+        dg_lo = (dgates - dg_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dh_prev = (
+            jnp.dot(dg_hi, wht_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(dg_lo, wht_ref[:], preferred_element_type=jnp.float32)
+            + jnp.where(valid, 0.0, dh)
+        )
         dc_prev = dnew_c * sig_f + jnp.where(valid, 0.0, dc)
 
         @pl.when(k >= 2)
         def _():
             dg_dma(slot, T - 1 - (k - 2)).wait()
 
-        dgbuf[slot] = dgates.astype(jnp.bfloat16)
+        dgbuf[slot] = dgates
         dg_dma(slot, t).start()
         return (dc_prev, dh_prev)
 
-    dc_fin, dh_fin = jax.lax.fori_loop(0, T, step, (dc0, dh0), unroll=True)
+    dc_fin, dh_fin = jax.lax.fori_loop(0, T, step, (dc0, dh0))
     # reuse the cotangent refs as outputs for (dc_0, dh_0)? No — separate
     # outputs would need more refs; the wrapper only consumes dgates (the
     # input cotangent d_xs comes from dgates @ Wx^T, and the initial
@@ -615,16 +624,16 @@ def _train_fwd_pallas(kernel, bias, xs_tm, seq_len, forget_bias, tile_b,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.bfloat16),
-            jax.ShapeDtypeStruct((T, B, G), jnp.bfloat16),
-            jax.ShapeDtypeStruct((T, B, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
             pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
-            pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
-            pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
+            pltpu.VMEM((2, tile_b, G), jnp.float32),
+            pltpu.VMEM((2, tile_b, H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -641,6 +650,7 @@ def _train_fwd_pallas(kernel, bias, xs_tm, seq_len, forget_bias, tile_b,
 
 
 def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
+                                 bwd_tile_b: int = 32,
                                  interpret: bool = False):
     """Build fn(kernel, bias, xs, seq_len) -> (outs [B,T,H] bf16, c_fin,
     h_fin) whose VJP runs the fused Pallas backward. The weight/input
@@ -673,19 +683,22 @@ def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
         w_x = kernel[:D].astype(jnp.bfloat16)
         w_h = kernel[D:].astype(jnp.bfloat16)
 
+        # the f32 residual/cotangent buffers put the bwd kernel over the
+        # 16MB scoped-VMEM budget at the fwd's tile; it runs at its own
+        # smaller tile (separate pallas_call, no coupling to the fwd)
         bwd_k = functools.partial(
-            _lstm_chunk_kernel_train_bwd, T=T, tile_b=tile_b,
+            _lstm_chunk_kernel_train_bwd, T=T, tile_b=bwd_tile_b,
             forget_bias=forget_bias,
         )
         (dgates_tm,) = pl.pallas_call(
             bwd_k,
-            grid=(B // tile_b,),
+            grid=(B // bwd_tile_b,),
             in_specs=[
-                pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                pl.BlockSpec((bwd_tile_b, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_b, H), lambda i: (i, 0),
+                pl.BlockSpec((bwd_tile_b, H), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile_b, H), lambda i: (i, 0),
+                pl.BlockSpec((bwd_tile_b, H), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((G, H), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -694,13 +707,13 @@ def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
                 pl.BlockSpec(memory_space=pl.ANY),  # d_outs
             ],
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_shape=[jax.ShapeDtypeStruct((T, B, G), jnp.bfloat16)],
+            out_shape=[jax.ShapeDtypeStruct((T, B, G), jnp.float32)],
             scratch_shapes=[
-                pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
-                pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
-                pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
-                pltpu.VMEM((2, tile_b, H), jnp.bfloat16),
-                pltpu.VMEM((2, tile_b, G), jnp.bfloat16),
+                pltpu.VMEM((2, bwd_tile_b, G), jnp.float32),
+                pltpu.VMEM((2, bwd_tile_b, H), jnp.float32),
+                pltpu.VMEM((2, bwd_tile_b, H), jnp.float32),
+                pltpu.VMEM((2, bwd_tile_b, H), jnp.float32),
+                pltpu.VMEM((2, bwd_tile_b, G), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -715,28 +728,28 @@ def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
             jnp.swapaxes(w_h, 0, 1),  # [4H, H]
             gates_tm,
             cs_tm,
-            jnp.swapaxes(d_outs, 0, 1).astype(jnp.bfloat16),
+            jnp.swapaxes(d_outs, 0, 1).astype(jnp.float32),
         )
 
         # h_{t-1} stream: the masked outputs shifted by one step
         h_prev_tm = jnp.concatenate(
             [jnp.zeros((1, B, H), outs_tm.dtype), outs_tm[:-1]], axis=0
         )
-        flat_dg = dgates_tm.reshape(T * B, G)
+        flat_dg = dgates_tm.reshape(T * B, G)  # f32, like XLA AD's dgates
         d_wh = jax.lax.dot_general(
-            h_prev_tm.reshape(T * B, H), flat_dg,
+            h_prev_tm.reshape(T * B, H).astype(jnp.float32), flat_dg,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d_wx = jax.lax.dot_general(
-            xs_tm.reshape(T * B, D).astype(jnp.bfloat16), flat_dg,
+            xs_tm.reshape(T * B, D).astype(jnp.float32), flat_dg,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d_kernel = jnp.concatenate([d_wx, d_wh], axis=0)
-        d_bias = jnp.sum(flat_dg.astype(jnp.float32), axis=0)
+        d_bias = jnp.sum(flat_dg, axis=0)
         d_xs_tm = jax.lax.dot_general(
-            flat_dg, w_x,
+            flat_dg, w_x.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(T, B, D)
@@ -760,8 +773,9 @@ def multi_lstm_scan_train_pallas(
     state_parts = []
     layer_in = xs
     for p in params:
-        layer_fn = make_lstm_layer_train_pallas(forget_bias, tile_b,
-                                                interpret)
+        layer_fn = make_lstm_layer_train_pallas(
+            forget_bias, tile_b, bwd_tile_b=min(32, tile_b),
+            interpret=interpret)
         outs, c_fin, h_fin = layer_fn(p["kernel"], p["bias"], layer_in,
                                       seq_len)
         state_parts.extend([c_fin, h_fin])

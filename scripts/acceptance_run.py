@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--scan_unroll", type=int, default=15)
     ap.add_argument("--num_epochs", type=int, default=30)
+    ap.add_argument("--lstm_pallas_train", default="false",
+                    help="forwarded to cli.train (fused train kernels)")
     args = ap.parse_args()
     workdir = args.workdir or tempfile.mkdtemp(prefix="yt8m_acceptance_")
     data_dir = os.path.join(workdir, "yt8m")
@@ -126,6 +128,7 @@ def main():
         "--train_data_pattern", os.path.join(data_dir, "train-*.tfrecord"),
         "--num_epochs", str(args.num_epochs),
         "--start_new_model", "true",
+        "--lstm_pallas_train", args.lstm_pallas_train,
     ])
     logging.getLogger("train").removeHandler(capture)
 
