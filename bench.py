@@ -83,8 +83,10 @@ def run(batch_size: int, compute_dtype: str):
         return (time.perf_counter() - t0) / iters
 
     timed_window(2)  # settle
-    per_step = min(timed_window(10) for _ in range(3))
-    return B / per_step
+    windows = sorted(timed_window(10) for _ in range(3))
+    # best-window rate plus the per-window spread (min/median/max v/s):
+    # round-over-round deltas under the spread are relay noise, not real
+    return B / windows[0], [round(B / w, 1) for w in windows]
 
 
 def _bench_batch(cfg, rng):
@@ -101,20 +103,20 @@ def _bench_batch(cfg, rng):
 
 
 def _timed_videos_per_sec(fn, sync, batch: int, iters: int = 10,
-                          windows: int = 3) -> float:
+                          windows: int = 3):
     """Steady-state videos/s; sync() must FETCH a value (block_until_ready
-    is unreliable through the relay)."""
+    is unreliable through the relay). Returns (best_rate, window_rates)."""
     fn()
     sync()  # compile + settle
-    best = None
+    dts = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             fn()
         sync()
-        dt = (time.perf_counter() - t0) / iters
-        best = dt if best is None else min(best, dt)
-    return batch / best
+        dts.append((time.perf_counter() - t0) / iters)
+    dts.sort()
+    return batch / dts[0], [round(batch / dt, 1) for dt in dts]
 
 
 def run_serving(batch_size: int, compute_dtype: str,
@@ -206,7 +208,7 @@ def run_eval(batch_size: int, compute_dtype: str):
     def fn():
         holder["out"] = step(params, f, l, n)
 
-    device_rate = _timed_videos_per_sec(
+    device_rate, device_windows = _timed_videos_per_sec(
         fn, lambda: float(holder["out"]["per_example_loss"][0]), batch_size
     )
 
@@ -238,15 +240,15 @@ def run_eval(batch_size: int, compute_dtype: str):
     epoch = evl.get()
     assert np.isfinite(epoch["gap"])
     e2e_rate = batch_size * iters / (time.perf_counter() - t0)
-    return device_rate, e2e_rate
+    return device_rate, device_windows, e2e_rate
 
 
 def main():
-    videos_per_sec = None
+    videos_per_sec = train_windows = None
     for batch, dtype in [(512, "bfloat16"), (256, "bfloat16"),
                          (128, "bfloat16"), (64, "float32")]:
         try:
-            videos_per_sec = run(batch, dtype)
+            videos_per_sec, train_windows = run(batch, dtype)
             break
         except Exception as e:  # OOM etc. -> try smaller
             print(f"bench config (batch={batch}, {dtype}) failed: {e}",
@@ -261,17 +263,19 @@ def main():
     # (measured 67.6k v/s vs 52.3k at 512 in bf16); larger batches
     # plateau. Falls back if the remote AOT compiler rejects the shape.
     serving = serving_int8 = eval_tput = None
+    serving_windows = serving_int8_windows = eval_windows = None
     for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
                          (256, "bfloat16")]:
         try:
-            serving = run_serving(batch, dtype)
+            serving, serving_windows = run_serving(batch, dtype)
             break
         except Exception as e:
             print(f"serving bench (batch={batch}) failed: {e}", file=sys.stderr)
     for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
                          (256, "bfloat16")]:
         try:
-            serving_int8 = run_serving(batch, dtype, quantize="int8")
+            serving_int8, serving_int8_windows = run_serving(
+                batch, dtype, quantize="int8")
             break
         except Exception as e:
             print(f"int8 serving bench (batch={batch}) failed: {e}",
@@ -280,7 +284,7 @@ def main():
     for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
                          (256, "bfloat16")]:
         try:
-            eval_tput, eval_e2e = run_eval(batch, dtype)
+            eval_tput, eval_windows, eval_e2e = run_eval(batch, dtype)
             break
         except Exception as e:
             print(f"eval bench (batch={batch}) failed: {e}", file=sys.stderr)
@@ -295,6 +299,12 @@ def main():
             round(serving_int8, 2) if serving_int8 else None,
         "eval_videos_per_sec": round(eval_tput, 2) if eval_tput else None,
         "eval_e2e_videos_per_sec": round(eval_e2e, 2) if eval_e2e else None,
+        # per-window spread (sorted best->worst): deltas inside the spread
+        # across rounds are relay/measurement noise, not regressions
+        "train_windows": train_windows,
+        "serving_windows": serving_windows,
+        "serving_int8_windows": serving_int8_windows,
+        "eval_windows": eval_windows,
     }))
 
 

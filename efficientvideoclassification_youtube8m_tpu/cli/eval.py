@@ -11,6 +11,7 @@ import logging
 import os
 import sys
 import time
+from collections import deque
 
 import numpy as np
 
@@ -79,19 +80,21 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         logger.info(summary_lib.add_global_step_summary(
             writer, global_step_val, info, summary_scope="Eval"))
 
-    # one-batch-lagged fetch: dispatch batch k+1 BEFORE pulling batch
-    # k's outputs, so the device->host round trip overlaps device
-    # compute (device_prefetch already overlaps the H2D side)
-    pending = None
+    # lag-N fetch ring: keep several dispatched batches in flight and
+    # only pull the OLDEST one's packed outputs, so the ~per-launch
+    # dispatch + D2H latency of N batches overlaps device compute
+    # (device_prefetch already overlaps the H2D side). Drain order is
+    # FIFO, so epoch metrics are bit-identical to the sequential loop.
+    ring: deque = deque()
+    depth = max(1, getattr(cfg, "fetch_depth", 4))
     for (f, l, n), (labels, pad) in device_prefetch(
             distributed.sync_host_streams(loader, "eval"),
             mesh, host_keep=lambda b: (b.labels, b.pad)):
-        out = step_fn(params_student, f, l, n)
-        if pending is not None:
-            drain(*pending)
-        pending = (out, labels, pad)
-    if pending is not None:
-        drain(*pending)
+        ring.append((step_fn(params_student, f, l, n), labels, pad))
+        if len(ring) >= depth:
+            drain(*ring.popleft())
+    while ring:
+        drain(*ring.popleft())
     epoch_data = evl_metrics.get()
     epoch_data["epoch_id"] = global_step_val
     logger.info(summary_lib.add_epoch_summary(

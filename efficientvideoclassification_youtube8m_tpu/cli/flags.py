@@ -114,6 +114,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_format", default="msgpack",
                    choices=["msgpack", "orbax"])
     p.add_argument("--use_native_io", type=_bool, default=True)
+    p.add_argument("--fetch_depth", type=int, default=4,
+                   help="in-flight dispatch depth of the eval loops' "
+                   "lag-N fetch ring (1 = sequential fetch); FIFO drain "
+                   "keeps epoch metrics identical at any depth")
     return p
 
 

@@ -12,6 +12,7 @@ import logging
 import os
 import sys
 import time
+from collections import deque
 
 import numpy as np
 
@@ -75,18 +76,22 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
             float(out["student_loss_state"]),
         )
 
-    # one-batch-lagged fetch: the D2H round trip (one packed transfer,
-    # gather_step_outputs) overlaps the next batch's device compute
-    pending = None
+    # lag-N fetch ring: keep several dispatched batches in flight and
+    # pull only the oldest one's packed outputs, so N launches' worth of
+    # dispatch + D2H latency overlaps device compute. FIFO drain order
+    # keeps epoch metrics bit-identical to the sequential loop.
+    ring: deque = deque()
+    depth = max(1, getattr(cfg, "fetch_depth", 4))
     for (f, l, n), (labels, pad) in device_prefetch(
             distributed.sync_host_streams(loader, "eval"), mesh,
             host_keep=lambda b: (b.labels, b.pad)):
-        out = step_fn(state.params_teacher, state.params_student, f, l, n)
-        if pending is not None:
-            drain(*pending)
-        pending = (out, labels, pad)
-    if pending is not None:
-        drain(*pending)
+        ring.append(
+            (step_fn(state.params_teacher, state.params_student, f, l, n),
+             labels, pad))
+        if len(ring) >= depth:
+            drain(*ring.popleft())
+    while ring:
+        drain(*ring.popleft())
     epoch_data = evl_metrics.get()
     epoch_data["epoch_id"] = global_step_val
     logger.info(

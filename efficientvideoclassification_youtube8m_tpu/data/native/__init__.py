@@ -78,6 +78,10 @@ def _load():
         lib.yt8m_close.argtypes = [ctypes.c_void_p]
         lib.yt8m_crc32c.restype = ctypes.c_uint32
         lib.yt8m_crc32c.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64]
+        lib.yt8m_crc32c_ext.restype = ctypes.c_uint32
+        lib.yt8m_crc32c_ext.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64, ctypes.c_uint32,
+        ]
         _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.ap_heap_push.restype = ctypes.c_int64
@@ -141,10 +145,12 @@ def ap_sweep(preds: np.ndarray, acts: np.ndarray, starts: np.ndarray,
     return out
 
 
-def crc32c(data: bytes) -> int:
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC32C; `crc` is a finalized value to continue from (incremental
+    use), 0 for a fresh checksum — matching data/tfrecord.py's fallback."""
     lib = _load()
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-    return lib.yt8m_crc32c(buf, len(data))
+    return lib.yt8m_crc32c_ext(buf, len(data), crc & 0xFFFFFFFF)
 
 
 def read_frame_file(

@@ -48,8 +48,11 @@ struct Crc32cTables {
 
 const Crc32cTables kCrc;
 
-uint32_t crc32c(const uint8_t* data, size_t n) {
-  uint32_t crc = 0xFFFFFFFFu;
+// `start` is a finalized CRC32C value (post xor-out) to continue from,
+// 0 for a fresh checksum — the same incremental contract as the Python
+// table fallback in data/tfrecord.py.
+uint32_t crc32c_ext(const uint8_t* data, size_t n, uint32_t start) {
+  uint32_t crc = ~start;
   while (n >= 8) {
     uint32_t lo, hi;
     memcpy(&lo, data, 4);
@@ -64,6 +67,10 @@ uint32_t crc32c(const uint8_t* data, size_t n) {
   }
   while (n--) crc = (crc >> 8) ^ kCrc.t[0][(crc ^ *data++) & 0xFF];
   return crc ^ 0xFFFFFFFFu;
+}
+
+uint32_t crc32c(const uint8_t* data, size_t n) {
+  return crc32c_ext(data, n, 0);
 }
 
 uint32_t masked_crc32c(const uint8_t* data, size_t n) {
@@ -447,5 +454,9 @@ int32_t yt8m_next_batch(Yt8mReader* r, int32_t n, uint8_t* feat_out,
 }
 
 uint32_t yt8m_crc32c(const uint8_t* data, uint64_t n) { return crc32c(data, n); }
+
+uint32_t yt8m_crc32c_ext(const uint8_t* data, uint64_t n, uint32_t start) {
+  return crc32c_ext(data, n, start);
+}
 
 }  // extern "C"

@@ -63,11 +63,11 @@ def _native_crc():
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
-    """CRC32C; the C kernel when built, numpy tables otherwise."""
-    if crc == 0:
-        native = _native_crc()
-        if native is not None:
-            return native(data)
+    """CRC32C; the C kernel when built, numpy tables otherwise. `crc`
+    continues from a finalized value (incremental use) on both paths."""
+    native = _native_crc()
+    if native is not None:
+        return native(data, crc)
     crc = (~crc) & 0xFFFFFFFF
     buf = np.frombuffer(data, dtype=np.uint8)
     n4 = len(buf) // 4

@@ -239,12 +239,15 @@ class AveragePrecisionCalculator:
         if native is not None and _native_perm_ok(native):
             # CPython-exact MT19937 replay in C (data/native/heap.cc):
             # the same permutation random.sample would draw, minus the
-            # Python-speed cost on million-entry epoch pools. (Unlike the
-            # fallback it leaves the global `random` state untouched.)
+            # Python-speed cost on million-entry epoch pools.
             suffidx = native.sample_perm(n)
         else:
-            random.seed(0)
-            suffidx = random.sample(range(n), n)
+            # A PRIVATE Random(0) draws the exact same MT19937 stream as
+            # the reference's `random.seed(0); random.sample(...)`
+            # (average_precision_calculator.py:181-183) without mutating
+            # the process-global RNG — so the native and fallback paths
+            # have identical side effects (none) and identical output.
+            suffidx = random.Random(0).sample(range(n), n)
         return predictions[suffidx], actuals[suffidx]
 
     @staticmethod

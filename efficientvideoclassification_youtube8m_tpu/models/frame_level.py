@@ -97,16 +97,22 @@ class HierarchicalLstmModel:
             # differentiable fused kernels (--lstm_pallas_train): the
             # sequential fwd/bwd chains run in one Pallas kernel per
             # layer/direction; the dW/dx matmuls stay XLA
-            from efficientvideoclassification_youtube8m_tpu.ops.pallas.lstm_scan import (
-                multi_lstm_scan_train_pallas,
+            from efficientvideoclassification_youtube8m_tpu.ops.pallas import (
+                lstm_scan,
             )
 
             def scan_fn(p, xs, seq):
-                # tile 64: the train fwd kernel's extra residual streams
-                # overflow the 16MB scoped-VMEM budget at tile 128
-                if xs.shape[0] % 64:
+                bsz = xs.shape[0]
+                tile = next(
+                    (t for t in (512, 256, 128, 64, 32, 16, 8)
+                     if t <= lstm_scan.TRAIN_TILE_B and bsz % t == 0),
+                    None,
+                )
+                if tile is None:
                     return xla_scan_fn(p, xs, seq)
-                return multi_lstm_scan_train_pallas(p, xs, seq, tile_b=64)
+                return lstm_scan.multi_lstm_scan_train_pallas(
+                    p, xs, seq, tile_b=tile,
+                    bwd_tile_b=min(tile, lstm_scan.TRAIN_BWD_TILE_B))
         elif use_pallas:
             # fused inference kernel (forward-only, bf16):
             # ops/pallas/lstm_scan.py. Mosaic needs batch tiles with a

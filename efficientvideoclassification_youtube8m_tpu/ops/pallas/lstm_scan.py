@@ -30,6 +30,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The train kernels keep f32 residual/cotangent streams plus the resident
+# [4H, H] bf16 Wh^T (8 MB at H=1024); Mosaic's default 16 MB scoped-VMEM
+# budget rejects that at any useful batch tile (20.5 MB at bwd tile 32 on
+# flagship dims). v5e has 128 MB of physical VMEM per core and a Pallas
+# kernel is the whole program while it runs, so raise the per-kernel cap —
+# this is the whole fix that unblocked the measured +38% train win.
+_TRAIN_VMEM_LIMIT = 100 * 1024 * 1024
+
+# Default batch tiles for the train kernels (largest divisor of the batch
+# that is <= these is used; see models/frame_level.py). r4 tile sweep on
+# v5e at flagship dims/batch 512 (bf16 dgates stream, f32 residuals):
+# 64/64 2785, 128/128 3004, 256/128 3019, 256/256 3027, 512/256 3028,
+# 512/512 3019 v/s — flat past 256, so 256/256 (smallest VMEM footprint
+# on the plateau).
+TRAIN_TILE_B = 256
+TRAIN_BWD_TILE_B = 256
+
 
 def _lstm_chunk_kernel(
     seq_ref,  # [TILE_B, 1] int32 VMEM
@@ -297,12 +314,12 @@ def _lstm_chunk_kernel_train_bwd(
     gates_hbm,  # [T, B, 4H] f32 ANY (fwd residual)
     cs_hbm,  # [T, B, H] f32 ANY (fwd residual, masked c_t)
     douts_hbm,  # [T, B, H] f32 ANY (output cotangents)
-    dgates_hbm,  # [T, B, 4H] f32 ANY (result stream)
+    dgates_hbm,  # [T, B, 4H] bf16 ANY (result stream)
     gbuf,  # VMEM scratch (2, TILE_B, 4H) f32
     cbuf,  # VMEM scratch (2, TILE_B, H) f32  (c_t)
     cpbuf,  # VMEM scratch (2, TILE_B, H) f32  (c_{t-1})
     dobuf,  # VMEM scratch (2, TILE_B, H) f32
-    dgbuf,  # VMEM scratch (2, TILE_B, 4H) f32
+    dgbuf,  # VMEM scratch (2, TILE_B, 4H) bf16
     g_sems,
     c_sems,
     cp_sems,
@@ -409,7 +426,12 @@ def _lstm_chunk_kernel_train_bwd(
         def _():
             dg_dma(slot, T - 1 - (k - 2)).wait()
 
-        dgbuf[slot] = dgates
+        # The EMITTED stream is plain bf16 (dg_hi): the dW/dx consumers
+        # are bf16-operand matmuls exactly like XLA AD's (which casts
+        # its f32 dgates to bf16 at the dot), so this is convergence-
+        # equivalent — and halves the dgates HBM write+read traffic.
+        # Only the sequential dh chain above needs the hi/lo precision.
+        dgbuf[slot] = dg_hi
         dg_dma(slot, t).start()
         return (dc_prev, dh_prev)
 
@@ -639,6 +661,8 @@ def _train_fwd_pallas(kernel, bias, xs_tm, seq_len, forget_bias, tile_b,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TRAIN_VMEM_LIMIT),
         interpret=interpret,
     )(
         seq_len.astype(jnp.int32).reshape(B, 1),
@@ -683,9 +707,7 @@ def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
         w_x = kernel[:D].astype(jnp.bfloat16)
         w_h = kernel[D:].astype(jnp.bfloat16)
 
-        # the f32 residual/cotangent buffers put the bwd kernel over the
-        # 16MB scoped-VMEM budget at the fwd's tile; it runs at its own
-        # smaller tile (separate pallas_call, no coupling to the fwd)
+        # separate pallas_call at its own tile (no coupling to the fwd's)
         bwd_k = functools.partial(
             _lstm_chunk_kernel_train_bwd, T=T, tile_b=bwd_tile_b,
             forget_bias=forget_bias,
@@ -707,19 +729,21 @@ def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
                 pl.BlockSpec(memory_space=pl.ANY),  # d_outs
             ],
             out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_shape=[jax.ShapeDtypeStruct((T, B, G), jnp.float32)],
+            out_shape=[jax.ShapeDtypeStruct((T, B, G), jnp.bfloat16)],
             scratch_shapes=[
                 pltpu.VMEM((2, bwd_tile_b, G), jnp.float32),
                 pltpu.VMEM((2, bwd_tile_b, H), jnp.float32),
                 pltpu.VMEM((2, bwd_tile_b, H), jnp.float32),
                 pltpu.VMEM((2, bwd_tile_b, H), jnp.float32),
-                pltpu.VMEM((2, bwd_tile_b, G), jnp.float32),
+                pltpu.VMEM((2, bwd_tile_b, G), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_TRAIN_VMEM_LIMIT),
             interpret=interpret,
         )(
             seq_len.astype(jnp.int32).reshape(B, 1),
@@ -735,21 +759,24 @@ def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
         h_prev_tm = jnp.concatenate(
             [jnp.zeros((1, B, H), outs_tm.dtype), outs_tm[:-1]], axis=0
         )
-        flat_dg = dgates_tm.reshape(T * B, G)  # f32, like XLA AD's dgates
+        # bf16-operand matmuls with f32 accumulation — exactly what XLA
+        # AD emits for these cotangent dots (it casts dgates to bf16 at
+        # the dot; the r2 xplane profile showed them at bf16 MXU peak)
+        flat_dg = dgates_tm.reshape(T * B, G)  # bf16 from the kernel
         d_wh = jax.lax.dot_general(
-            h_prev_tm.reshape(T * B, H).astype(jnp.float32), flat_dg,
+            h_prev_tm.reshape(T * B, H).astype(jnp.bfloat16), flat_dg,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d_wx = jax.lax.dot_general(
-            xs_tm.reshape(T * B, D).astype(jnp.float32), flat_dg,
+            xs_tm.reshape(T * B, D).astype(jnp.bfloat16), flat_dg,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         d_kernel = jnp.concatenate([d_wx, d_wh], axis=0)
-        d_bias = jnp.sum(flat_dg, axis=0)
+        d_bias = jnp.sum(flat_dg.astype(jnp.float32), axis=0)
         d_xs_tm = jax.lax.dot_general(
-            flat_dg, w_x.astype(jnp.float32),
+            flat_dg, w_x,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(T, B, D)
@@ -766,6 +793,7 @@ def multi_lstm_scan_train_pallas(
     seq_len: jax.Array,
     forget_bias: float = 1.0,
     tile_b: int = 64,
+    bwd_tile_b: int = None,
     interpret: bool = False,
 ):
     """Differentiable stacked-LSTM forward with the fused train kernels;
@@ -774,7 +802,8 @@ def multi_lstm_scan_train_pallas(
     layer_in = xs
     for p in params:
         layer_fn = make_lstm_layer_train_pallas(
-            forget_bias, tile_b, bwd_tile_b=min(32, tile_b),
+            forget_bias, tile_b,
+            bwd_tile_b=bwd_tile_b if bwd_tile_b is not None else tile_b,
             interpret=interpret)
         outs, c_fin, h_fin = layer_fn(p["kernel"], p["bias"], layer_in,
                                       seq_len)

@@ -27,6 +27,7 @@ leave devices idle.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Optional, Tuple
 
 import numpy as np
@@ -56,13 +57,16 @@ from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
 class Predictor:
     def __init__(self, cfg: TrainConfig, params, tower: str = "student",
                  serve_batch: int = 256, mesh=None,
-                 sequence_parallel: bool = False, quantize: str = "none"):
+                 sequence_parallel: bool = False, quantize: str = "none",
+                 fetch_depth: int = 4):
         assert tower in ("student", "teacher")
         if quantize not in ("none", "int8"):
             raise ValueError(f"quantize must be 'none' or 'int8', got {quantize!r}")
         self.cfg = cfg
         self.tower = tower
         self.serve_batch = serve_batch
+        # in-flight dispatch depth of predict()'s chunk ring (lag-N)
+        self.fetch_depth = fetch_depth
         # student requests are strided on the HOST (predict below), so
         # only 1/every_n of the uint8 bytes cross the host->device edge
         self._host_stride = cfg.every_n if tower == "student" else 1
@@ -289,16 +293,18 @@ class Predictor:
         probabilities [B, vocab]. Requests are padded to serve_batch so
         any B reuses one compiled program.
 
-        Multi-chunk requests are PIPELINED: chunk k+1 is dispatched
-        before chunk k's result is pulled to the host, so the H2D
-        transfer, device compute, and D2H fetch of consecutive chunks
-        overlap (jax dispatch is async) — the same one-step lag the CLI
-        loops use."""
+        Multi-chunk requests are PIPELINED with a lag-N ring: several
+        chunks stay dispatched in flight and only the oldest result is
+        pulled to the host, so the H2D transfer, device compute, and
+        per-launch dispatch + D2H latency of N consecutive chunks
+        overlap (jax dispatch is async) — the same ring the CLI eval
+        loops use. FIFO drain keeps output order identical."""
         B = features_u8.shape[0]
         if self._host_stride > 1:
             features_u8 = host_subsample(features_u8, self._host_stride)
         out = []
-        pending = None  # (device preds, valid row count)
+        ring: deque = deque()  # (device preds, valid row count)
+        depth = max(1, self.fetch_depth)
         for start in range(0, B, self.serve_batch):
             chunk = features_u8[start : start + self.serve_batch]
             nf = num_frames[start : start + self.serve_batch]
@@ -309,12 +315,15 @@ class Predictor:
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
                 )
                 nf = np.concatenate([nf, np.zeros(pad, nf.dtype)])
-            preds = self._fwd(self.params, jnp.asarray(chunk), jnp.asarray(nf))
-            if pending is not None:
-                out.append(np.asarray(pending[0])[: pending[1]])
-            pending = (preds, n)
-        if pending is not None:
-            out.append(np.asarray(pending[0])[: pending[1]])
+            ring.append(
+                (self._fwd(self.params, jnp.asarray(chunk), jnp.asarray(nf)),
+                 n))
+            if len(ring) >= depth:
+                done = ring.popleft()
+                out.append(np.asarray(done[0])[: done[1]])
+        while ring:
+            done = ring.popleft()
+            out.append(np.asarray(done[0])[: done[1]])
         return np.concatenate(out, axis=0) if out else np.zeros(
             (0, self.cfg.num_classes), np.float32)
 

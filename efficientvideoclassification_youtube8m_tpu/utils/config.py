@@ -91,6 +91,11 @@ class TrainConfig:
     # GSPMD global-batch-statistics path exactly. Off = standard unsynced
     # data-parallel BN.
     sync_batch_norm: bool = False
+    # in-flight dispatch depth of the eval loops' lag-N fetch ring:
+    # results are pulled N batches behind dispatch so N launches' worth
+    # of dispatch + D2H latency overlaps device compute (FIFO drain —
+    # epoch metrics are order-identical to the sequential loop)
+    fetch_depth: int = 4
     # sharding: data-parallel size is inferred from the mesh at run time
 
     @property

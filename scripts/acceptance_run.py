@@ -24,6 +24,14 @@ Asserted bands (fail -> exit 1):
 Intended for TPU (~10 min incl. compile). On CPU pass --scan_unroll 1
 and expect a multi-hour run (one host core).
 
+CONVERGENCE GATE — read before flipping any train-math default:
+any flag that changes the training-step math (precision of residual /
+cotangent streams, kernel fusion, optimizer math, loss terms) MUST pass
+these bands on the real chip with the flag enabled BEFORE its default
+changes. The r3 bf16-residual Pallas episode is why: it measured +38%
+throughput but stalled at train GAP 0.06 by step 534 (float converges
+by 272) — throughput wins that lose convergence are not wins.
+
 Usage: python scripts/acceptance_run.py [--workdir DIR] [--scan_unroll N]
 """
 

@@ -33,6 +33,26 @@ def test_native_crc_matches_python():
         assert native.crc32c(data) == crc32c(data)
 
 
+def test_native_crc_incremental():
+    """Chained calls (crc != 0) route through the C kernel and match
+    both the whole-buffer value and the table-fallback chain."""
+    from efficientvideoclassification_youtube8m_tpu.data import tfrecord as tfr
+
+    rng = np.random.default_rng(3)
+    for n1, n2 in [(0, 5), (7, 0), (13, 29), (4096, 3), (9, 8192)]:
+        a = rng.integers(0, 256, n1, dtype=np.uint8).tobytes()
+        b = rng.integers(0, 256, n2, dtype=np.uint8).tobytes()
+        whole = native.crc32c(a + b)
+        assert native.crc32c(b, native.crc32c(a)) == whole
+        # pure-python chain (fallback forced) agrees
+        saved = list(tfr._NATIVE_CRC)
+        tfr._NATIVE_CRC[:] = [True, None]
+        try:
+            assert tfr.crc32c(b, tfr.crc32c(a)) == whole
+        finally:
+            tfr._NATIVE_CRC[:] = saved
+
+
 def test_native_matches_python_parser(shard):
     path, truth = shard
     py_videos = list(read_frame_file(path, ("rgb", "audio"), (16, 4), 30))
