@@ -103,11 +103,8 @@ class HierarchicalLstmModel:
 
             def scan_fn(p, xs, seq):
                 bsz = xs.shape[0]
-                tile = next(
-                    (t for t in (512, 256, 128, 64, 32, 16, 8)
-                     if t <= lstm_scan.TRAIN_TILE_B and bsz % t == 0),
-                    None,
-                )
+                tile = lstm_scan.train_tile_for(
+                    bsz, p[0]["kernel"].shape[-1] // 4)
                 if tile is None:
                     return xla_scan_fn(p, xs, seq)
                 return lstm_scan.multi_lstm_scan_train_pallas(

@@ -47,6 +47,27 @@ _TRAIN_VMEM_LIMIT = 100 * 1024 * 1024
 TRAIN_TILE_B = 256
 TRAIN_BWD_TILE_B = 256
 
+# Largest LSTM cell count the train kernels are validated for on
+# hardware: the resident Wh (8*H^2 bytes bf16 fwd+bwd) plus Mosaic's
+# stack-allocated per-step temp chain fits the raised cap at H=1024
+# (flagship) with the default tiles; beyond that the bwd footprint is
+# unmeasured, so callers fall back to the XLA scan instead of risking a
+# Mosaic compile error (models/frame_level.py via train_tile_for).
+TRAIN_MAX_CELLS = 1024
+
+
+def train_tile_for(batch: int, cells: int) -> "int | None":
+    """Batch tile for the train kernels, or None when the fused path
+    should fall back to the XLA scan (unvalidated dims, or no
+    tile-divisible batch)."""
+    if cells > TRAIN_MAX_CELLS:
+        return None
+    return next(
+        (t for t in (512, 256, 128, 64, 32, 16, 8)
+         if t <= TRAIN_TILE_B and batch % t == 0),
+        None,
+    )
+
 
 def _lstm_chunk_kernel(
     seq_ref,  # [TILE_B, 1] int32 VMEM

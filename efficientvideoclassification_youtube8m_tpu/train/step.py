@@ -76,7 +76,8 @@ def resolve_label_loss(cfg: TrainConfig):
 
 
 def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
-                        pallas_override: Optional[bool] = None) -> Dict[str, Any]:
+                        pallas_override: Optional[bool] = None,
+                        per_device_program: bool = False) -> Dict[str, Any]:
     kw: Dict[str, Any] = {
         "classifier": cfg.video_level_classifier_model,
         "compute_dtype": jnp.bfloat16
@@ -86,13 +87,15 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
     }
     kw["is_training"] = not inference
     if not inference:
-        # fused Pallas train kernels: opt-in, bf16, single chip (Pallas
-        # is opaque to GSPMD)
+        # fused Pallas train kernels: bf16 + TPU. Pallas is opaque to
+        # GSPMD, so the jit-with-shardings paths enable them only
+        # single-chip; under shard_map (per_device_program) the
+        # per-device program is explicit and they run at any mesh size.
         kw["pallas_train"] = (
             getattr(cfg, "lstm_pallas_train", False)
             and cfg.compute_dtype == "bfloat16"
             and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
+            and (per_device_program or jax.device_count() == 1)
         )
     if cfg.model == "DbofModel":
         # DBoF's flag block (frame_level_models.py:119-124); sampling uses
@@ -154,7 +157,8 @@ def preprocess_batch(
 
 def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None,
                     inference: bool = False, dropout_keep_prob=1.0, rng=None,
-                    bn_axis_name: Optional[str] = None):
+                    bn_axis_name: Optional[str] = None,
+                    per_device_program: bool = False):
     model = get_model(cfg.model)
     return model.apply(
         params,
@@ -166,7 +170,8 @@ def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=No
         dropout_keep_prob=dropout_keep_prob,
         rng=rng,
         bn_axis_name=bn_axis_name,
-        **_model_apply_kwargs(cfg, inference=inference),
+        **_model_apply_kwargs(cfg, inference=inference,
+                              per_device_program=per_device_program),
     )
 
 
@@ -174,7 +179,8 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
                     labels=None, inference: bool = False,
                     dropout_keep_prob=1.0, rng=None,
                     pallas_override: Optional[bool] = None,
-                    bn_axis_name: Optional[str] = None):
+                    bn_axis_name: Optional[str] = None,
+                    per_device_program: bool = False):
     """`create_model_inference` (frame_level_models.py:269-338): same
     architecture on the subsampled frames with num_inputs_L1 chunks."""
     model = get_model(cfg.model)
@@ -189,7 +195,8 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
         rng=rng,
         bn_axis_name=bn_axis_name,
         **_model_apply_kwargs(cfg, inference=inference,
-                              pallas_override=pallas_override),
+                              pallas_override=pallas_override,
+                              per_device_program=per_device_program),
     )
 
 
@@ -375,10 +382,12 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
                 nf_student, labels, keep_prob, rng_t, rng_s):
         out_t = forward_teacher(cfg, params_t, model_input, num_frames, labels,
                                 dropout_keep_prob=keep_prob, rng=rng_t,
-                                bn_axis_name=bn_axis)
+                                bn_axis_name=bn_axis,
+                                per_device_program=axis_name is not None)
         out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
                                 dropout_keep_prob=keep_prob, rng=rng_s,
-                                bn_axis_name=bn_axis)
+                                bn_axis_name=bn_axis,
+                                per_device_program=axis_name is not None)
         ls = _distill_losses(cfg, out_t, out_s, labels, label_loss_fn)
         total = ls["teacher_final_loss"] + ls["total_student_loss"]
         if axis_name is not None:
@@ -506,6 +515,7 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
                 cfg, params_s, model_input_s, nf_student, labels,
                 dropout_keep_prob=keep_prob, rng=rng,
                 bn_axis_name=axis_name if cfg.sync_batch_norm else None,
+                per_device_program=axis_name is not None,
             )
             label_loss = out_s.get("loss")
             if label_loss is None:

@@ -177,3 +177,18 @@ def test_train_pallas_grad_parity_vs_scan_ad():
             a, b = np.asarray(g0[layer][k]), np.asarray(g1[layer][k])
             scale = max(np.abs(a).max(), 1e-6)
             assert np.abs(a - b).max() / scale < 0.03, (layer, k)
+
+
+def test_train_tile_guard():
+    """Oversized LSTM dims and non-tileable batches fall back to the XLA
+    scan (train_tile_for -> None) instead of risking a Mosaic VMEM
+    failure; validated dims pick the largest divisor tile <= 256."""
+    from efficientvideoclassification_youtube8m_tpu.ops.pallas import lstm_scan
+
+    assert lstm_scan.train_tile_for(512, 1024) == 256
+    assert lstm_scan.train_tile_for(128, 1024) == 128
+    assert lstm_scan.train_tile_for(8, 64) == 8
+    # beyond the hardware-validated cell bound -> fallback
+    assert lstm_scan.train_tile_for(512, 2048) is None
+    # no power-of-two divisor tile -> fallback
+    assert lstm_scan.train_tile_for(7, 1024) is None
