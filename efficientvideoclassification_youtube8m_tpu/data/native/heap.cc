@@ -107,6 +107,32 @@ void ap_heap_build_segments(double* p, double* a, const int64_t* starts,
   }
 }
 
+// Stable counting-sort group-by over the parallel (classes, preds, acts)
+// triplet arrays: writes the class-sorted streams into out_p/out_a and
+// the per-class entry counts into counts[0..num_class). Within a class,
+// entries keep arrival order — identical to the stable composite-key
+// argsort in eval_util._class_sorted, but O(n) with two passes instead
+// of O(n log n): at the 28M-entry YT8M epoch flush this is ~0.5s vs
+// ~10s of introsort. Segment starts are the exclusive prefix sum of
+// counts, so callers also skip the np.unique segment scan.
+void group_by_class_sort(const int64_t* classes, const double* preds,
+                         const double* acts, int64_t n, int64_t num_class,
+                         int64_t* counts, double* out_p, double* out_a) {
+  for (int64_t c = 0; c < num_class; ++c) counts[c] = 0;
+  for (int64_t i = 0; i < n; ++i) ++counts[classes[i]];
+  std::vector<int64_t> pos(num_class);
+  int64_t acc = 0;
+  for (int64_t c = 0; c < num_class; ++c) {
+    pos[c] = acc;
+    acc += counts[c];
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t j = pos[classes[i]]++;
+    out_p[j] = preds[i];
+    out_a[j] = acts[i];
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

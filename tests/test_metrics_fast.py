@@ -274,3 +274,35 @@ def test_train_step_metrics_exact_perr_input():
         scores.astype(np.float64),
         labels.astype(np.float64))
     np.testing.assert_allclose(info["perr"], want, atol=1e-6)
+
+
+def test_native_group_by_class_matches_stable_argsort():
+    """The C counting-sort group-by (heap.cc group_by_class_sort) is
+    bit-identical to the stable composite-key argsort path, including
+    the derived segment starts/ends."""
+    from efficientvideoclassification_youtube8m_tpu.data import native
+    from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
+        _class_segments,
+        _class_sorted,
+    )
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    n, C = 50_000, 317  # leaves many classes empty
+    classes = rng.integers(0, C // 2, n).astype(np.int64)
+    preds = rng.random(n)
+    acts = (rng.random(n) < 0.1).astype(np.float64)
+    sc, sp, sl = _class_sorted(classes, preds, acts)
+    gp, ga, counts = native.group_by_class(classes, preds, acts, C)
+    np.testing.assert_array_equal(gp, sp)
+    np.testing.assert_array_equal(ga, sl)
+    np.testing.assert_array_equal(
+        np.repeat(np.arange(C, dtype=np.int64), counts), sc)
+    uniq, starts, ends = _class_segments(sc)
+    seg_starts = np.zeros(C, np.int64)
+    np.cumsum(counts[:-1], out=seg_starts[1:])
+    u2 = np.flatnonzero(counts)
+    np.testing.assert_array_equal(u2, uniq)
+    np.testing.assert_array_equal(seg_starts[u2], starts)
+    np.testing.assert_array_equal(seg_starts[u2] + counts[u2], ends)
