@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstring>
 #include <vector>
 
 namespace {
@@ -264,12 +265,63 @@ void ap_sample_perm(uint32_t seed, int64_t n, int64_t* out) {
 //   * ap accumulates poscount/(i+1)*delta_recall left to right in
 //     doubles — the same IEEE op sequence as the Python loop.
 // top_n < 0 means unbounded (the epoch per-class/global calculators).
+//
+// Large segments (the epoch GLOBAL calculator pools tens of millions of
+// entries) take a stable LSD radix path instead of the index-indirect
+// introsort: doubles map to monotone u64 keys (sign-flip trick, -0.0
+// canonicalized to +0.0 so key equality == comparator equivalence), a
+// stable ascending radix on the COMPLEMENT key is exactly a stable
+// descending sort, and ties keep the shuffled arrival order — the
+// resulting rank/actual sequence, and hence the AP doubles, are
+// bit-identical to the stable_sort path (pinned in tests). ~5x at 28M.
+
+namespace {
+
+constexpr int64_t kRadixMinN = 1 << 17;
+
+// Stable 4x16-bit LSD radix sort of (key, pos-flag) pairs, ascending.
+void radix_sort_pairs(std::vector<uint64_t>& key, std::vector<uint8_t>& flag,
+                      std::vector<uint64_t>& key_tmp,
+                      std::vector<uint8_t>& flag_tmp, int64_t n) {
+  static std::vector<int64_t> cnt;
+  cnt.assign(1 << 16, 0);
+  uint64_t* k = key.data();
+  uint8_t* f = flag.data();
+  uint64_t* kt = key_tmp.data();
+  uint8_t* ft = flag_tmp.data();
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = pass * 16;
+    if (pass) std::fill(cnt.begin(), cnt.end(), 0);
+    for (int64_t i = 0; i < n; ++i) ++cnt[(k[i] >> shift) & 0xFFFF];
+    // all keys share this digit: the pass is the identity — skip it
+    if (cnt[(k[0] >> shift) & 0xFFFF] == n) continue;
+    int64_t acc = 0;
+    for (int64_t d = 0; d < (1 << 16); ++d) {
+      const int64_t c = cnt[d];
+      cnt[d] = acc;
+      acc += c;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t j = cnt[(k[i] >> shift) & 0xFFFF]++;
+      kt[j] = k[i];
+      ft[j] = f[i];
+    }
+    std::swap(k, kt);
+    std::swap(f, ft);
+  }
+  if (f != flag.data()) std::copy(f, f + n, flag.data());
+}
+
+}  // namespace
+
 void ap_sweep_segments(const double* preds, const double* acts,
                        const int64_t* starts, const int64_t* ends,
                        const double* num_pos, int64_t top_n, uint32_t seed,
                        int64_t nseg, double* out) {
   std::vector<int64_t> perm, order;
   std::vector<double> sp, sa;
+  std::vector<uint64_t> key, key_tmp;
+  std::vector<uint8_t> flag, flag_tmp;
   for (int64_t s = 0; s < nseg; ++s) {
     const int64_t n = ends[s] - starts[s];
     double numpos = num_pos[s];
@@ -284,22 +336,45 @@ void ap_sweep_segments(const double* preds, const double* acts,
     const double* a = acts + starts[s];
     perm.resize(n);
     ap_sample_perm(seed, n, perm.data());
-    sp.resize(n);
-    sa.resize(n);
-    for (int64_t i = 0; i < n; ++i) {
-      sp[i] = p[perm[i]];
-      sa[i] = a[perm[i]];
-    }
-    order.resize(n);
-    for (int64_t i = 0; i < n; ++i) order[i] = i;
-    std::stable_sort(order.begin(), order.end(),
-                     [&](int64_t x, int64_t y) { return sp[x] > sp[y]; });
     const int64_t r = (top_n > 0 && top_n < n) ? top_n : n;
     double ap = 0.0, poscount = 0.0;
-    for (int64_t i = 0; i < r; ++i) {
-      if (sa[order[i]] > 0.0) {
-        poscount += 1.0;
-        ap += poscount / static_cast<double>(i + 1) * delta_recall;
+    if (n >= kRadixMinN) {
+      key.resize(n);
+      flag.resize(n);
+      key_tmp.resize(n);
+      flag_tmp.resize(n);
+      for (int64_t i = 0; i < n; ++i) {
+        double d = p[perm[i]];
+        if (d == 0.0) d = 0.0;  // -0.0 -> +0.0: ties stay ties
+        uint64_t u;
+        std::memcpy(&u, &d, 8);
+        u = (u >> 63) ? ~u : (u | 0x8000000000000000ULL);
+        key[i] = ~u;  // ascending radix == descending double
+        flag[i] = a[perm[i]] > 0.0 ? 1 : 0;
+      }
+      radix_sort_pairs(key, flag, key_tmp, flag_tmp, n);
+      for (int64_t i = 0; i < r; ++i) {
+        if (flag[i]) {
+          poscount += 1.0;
+          ap += poscount / static_cast<double>(i + 1) * delta_recall;
+        }
+      }
+    } else {
+      sp.resize(n);
+      sa.resize(n);
+      for (int64_t i = 0; i < n; ++i) {
+        sp[i] = p[perm[i]];
+        sa[i] = a[perm[i]];
+      }
+      order.resize(n);
+      for (int64_t i = 0; i < n; ++i) order[i] = i;
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int64_t x, int64_t y) { return sp[x] > sp[y]; });
+      for (int64_t i = 0; i < r; ++i) {
+        if (sa[order[i]] > 0.0) {
+          poscount += 1.0;
+          ap += poscount / static_cast<double>(i + 1) * delta_recall;
+        }
       }
     }
     out[s] = ap;

@@ -306,3 +306,39 @@ def test_native_group_by_class_matches_stable_argsort():
     np.testing.assert_array_equal(u2, uniq)
     np.testing.assert_array_equal(seg_starts[u2], starts)
     np.testing.assert_array_equal(seg_starts[u2] + counts[u2], ends)
+
+
+def test_ap_sweep_radix_path_bit_identical():
+    """Segments >= the C radix threshold (1<<17) take the LSD-radix
+    stable sort; its rank/actual sequence — and therefore the AP doubles
+    — must be bit-identical to the stable-comparison path, including
+    heavy score ties and -0.0 vs +0.0 (canonicalized in the key map)."""
+    from efficientvideoclassification_youtube8m_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    def oracle_ap(preds, acts, numpos):
+        n = len(preds)
+        perm = native.sample_perm(n, 0)
+        sp, sa = preds[perm], acts[perm]
+        order = np.argsort(-sp, kind="stable")
+        dr = 1.0 / float(numpos)
+        ap = pc = 0.0
+        for i in range(n):
+            if sa[order[i]] > 0.0:
+                pc += 1.0
+                ap += pc / (i + 1) * dr
+        return ap
+
+    rng = np.random.default_rng(3)
+    n = (1 << 17) + 17  # just past the radix threshold
+    preds = np.round(rng.uniform(-1, 1, n), 2)  # heavy ties
+    preds[rng.random(n) < 0.01] = 0.0
+    preds[rng.random(n) < 0.01] = -0.0
+    acts = (rng.random(n) < 0.05).astype(np.float64)
+    npos = float(acts.sum())
+    got = native.ap_sweep(
+        preds, acts, np.zeros(1, np.int64), np.asarray([n], np.int64),
+        np.asarray([npos]), -1)[0]
+    assert got == oracle_ap(preds, acts, npos)
