@@ -66,11 +66,9 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
     examples_processed = 0
     start = time.time()
 
-    def drain(out, labels, pad):
-        """Fetch + accumulate one batch's outputs (one packed D2H
-        transfer, gather_step_outputs)."""
+    def accumulate(rows):
+        """Accumulate one batch's gathered valid rows + log."""
         nonlocal examples_processed
-        rows = distributed.gather_step_outputs(out, labels, pad)
         info = evl_metrics.accumulate_topk(
             rows["topk_val"], rows["topk_idx"], rows["labels"],
             rows["per_example_loss"], perr_precision=rows["perr_precision"],
@@ -80,6 +78,11 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         logger.info(summary_lib.add_global_step_summary(
             writer, global_step_val, info, summary_scope="Eval"))
 
+    def drain(out, labels, pad):
+        """Fetch + accumulate one batch's outputs (one packed D2H
+        transfer, gather_step_outputs)."""
+        accumulate(distributed.gather_step_outputs(out, labels, pad))
+
     # lag-N fetch ring: keep several dispatched batches in flight and
     # only pull the OLDEST one's packed outputs, so the ~per-launch
     # dispatch + D2H latency of N batches overlaps device compute
@@ -87,14 +90,60 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
     # FIFO, so epoch metrics are bit-identical to the sequential loop.
     ring: deque = deque()
     depth = max(1, getattr(cfg, "fetch_depth", 4))
-    for (f, l, n), (labels, pad) in device_prefetch(
-            distributed.sync_host_streams(loader, "eval"),
-            mesh, host_keep=lambda b: (b.labels, b.pad)):
-        ring.append((step_fn(params_student, f, l, n), labels, pad))
-        if len(ring) >= depth:
+    steps = max(1, getattr(args, "steps_per_dispatch", 1))
+    if steps > 1:
+        # steps-per-dispatch: stack K host batches, ONE launch scans
+        # them (build_sharded_eval_step_stacked), one packed [K, B,
+        # 2k+2] fetch — amortizes per-launch dispatch latency K-fold on
+        # high-latency links. The epoch's final partial stack is padded
+        # with dummy batches whose output slices are never read; drain
+        # order stays FIFO per batch, so epoch metrics are
+        # bit-identical to the per-batch loop.
+        import numpy as _np
+
+        from efficientvideoclassification_youtube8m_tpu.parallel import (
+            shard_stacked_batch,
+        )
+
+        def dispatch(bufs):
+            metas = [(b.labels, b.pad) for b in bufs]
+            filler = len(bufs[0].labels)  # fully-padded dummy rows
+            feats = [b.features for b in bufs]
+            labs = [b.labels for b in bufs]
+            nfs = [b.num_frames for b in bufs]
+            for _ in range(steps - len(bufs)):
+                feats.append(_np.zeros_like(feats[0]))
+                labs.append(_np.zeros_like(labs[0]))
+                nfs.append(_np.zeros((filler,), nfs[0].dtype))
+            dev = shard_stacked_batch(
+                mesh, _np.stack(feats), _np.stack(labs), _np.stack(nfs)
+            )
+            ring.append((step_fn(params_student, *dev), metas))
+
+        buf = []
+        for batch in distributed.sync_host_streams(loader, "eval"):
+            buf.append(batch)
+            if len(buf) == steps:
+                dispatch(buf)
+                buf = []
+                if len(ring) >= depth:
+                    for rows in distributed.gather_stacked_outputs(
+                            *ring.popleft()):
+                        accumulate(rows)
+        if buf:
+            dispatch(buf)
+        while ring:
+            for rows in distributed.gather_stacked_outputs(*ring.popleft()):
+                accumulate(rows)
+    else:
+        for (f, l, n), (labels, pad) in device_prefetch(
+                distributed.sync_host_streams(loader, "eval"),
+                mesh, host_keep=lambda b: (b.labels, b.pad)):
+            ring.append((step_fn(params_student, f, l, n), labels, pad))
+            if len(ring) >= depth:
+                drain(*ring.popleft())
+        while ring:
             drain(*ring.popleft())
-    while ring:
-        drain(*ring.popleft())
     epoch_data = evl_metrics.get()
     epoch_data["epoch_id"] = global_step_val
     logger.info(summary_lib.add_epoch_summary(
@@ -131,6 +180,7 @@ def evaluate(args):
     )
     aggregated = not args.frame_features
     quantize = getattr(args, "quantize", "none")
+    stacked_steps = max(1, getattr(args, "steps_per_dispatch", 1))
     if quantize == "int8":
         # evaluate the int8 SERVING numerics at scale (the deploy-gate
         # workflow): quantize each restored checkpoint's student params
@@ -156,20 +206,39 @@ def evaluate(args):
                 params_student, cfg.total_feature_size, cfg.lstm_cells,
                 cfg.lstm_layers)
 
-        step_fn = build_sharded_quantized_eval_step(
-            cfg, mesh,
-            # structure-only template: no device quantization of the
-            # random init
-            jax.eval_shape(prepare_params, template.params_student),
-            top_k=args.top_k, host_subsampled=True,
-        )
+        # structure-only template: no device quantization of the
+        # random init
+        qtemplate = jax.eval_shape(prepare_params, template.params_student)
+        if stacked_steps > 1:
+            from efficientvideoclassification_youtube8m_tpu.parallel import (
+                build_sharded_eval_step_stacked,
+            )
+
+            step_fn = build_sharded_eval_step_stacked(
+                cfg, mesh, qtemplate, top_k=args.top_k,
+                host_subsampled=True, quantized=True,
+            )
+        else:
+            step_fn = build_sharded_quantized_eval_step(
+                cfg, mesh, qtemplate, top_k=args.top_k, host_subsampled=True,
+            )
     else:
         prepare_params = lambda p: p  # noqa: E731
-        step_fn = build_sharded_eval_step(
-            cfg, mesh, template.params_student, top_k=args.top_k,
-            # frame path: the loader strides frames at the parser
-            host_subsampled=not aggregated, aggregated=aggregated,
-        )
+        if stacked_steps > 1:
+            from efficientvideoclassification_youtube8m_tpu.parallel import (
+                build_sharded_eval_step_stacked,
+            )
+
+            step_fn = build_sharded_eval_step_stacked(
+                cfg, mesh, template.params_student, top_k=args.top_k,
+                host_subsampled=not aggregated, aggregated=aggregated,
+            )
+        else:
+            step_fn = build_sharded_eval_step(
+                cfg, mesh, template.params_student, top_k=args.top_k,
+                # frame path: the loader strides frames at the parser
+                host_subsampled=not aggregated, aggregated=aggregated,
+            )
     writer = summary_lib.for_master(
         os.path.join(cfg.train_dir, "eval"), host.is_master
     )
@@ -203,6 +272,11 @@ def main(argv=None):
                         choices=["none", "int8"],
                         help="int8: evaluate the quantized serving path "
                         "(ops/quantize.py) — the deploy-gate accuracy check")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="K>1: scan K batches per device launch (one "
+                        "packed fetch) — amortizes per-launch dispatch "
+                        "latency on high-latency links; epoch metrics are "
+                        "bit-identical")
     args = parser.parse_args(argv)
     flags_lib.dump_flags(args, logger)
     evaluate(args)

@@ -57,11 +57,8 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
     examples_processed = 0
     start = time.time()
 
-    def drain(out, labels, pad):
+    def accumulate(rows, lrep: float):
         nonlocal examples_processed
-        # this host's rows of the global outputs, gathered into the
-        # global valid-row stream (passthrough single-process)
-        rows = distributed.gather_step_outputs(out, labels, pad)
         info = evl_metrics.accumulate_topk(
             rows["topk_val"], rows["topk_idx"], rows["labels"],
             rows["per_example_loss"], perr_precision=rows["perr_precision"],
@@ -73,8 +70,14 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
             summary_lib.add_global_step_summary(
                 writer, global_step_val, info, summary_scope="Eval"
             ),
-            float(out["student_loss_state"]),
+            lrep,
         )
+
+    def drain(out, labels, pad):
+        # this host's rows of the global outputs, gathered into the
+        # global valid-row stream (passthrough single-process)
+        accumulate(distributed.gather_step_outputs(out, labels, pad),
+                   float(out["student_loss_state"]))
 
     # lag-N fetch ring: keep several dispatched batches in flight and
     # pull only the oldest one's packed outputs, so N launches' worth of
@@ -82,16 +85,61 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
     # keeps epoch metrics bit-identical to the sequential loop.
     ring: deque = deque()
     depth = max(1, getattr(cfg, "fetch_depth", 4))
-    for (f, l, n), (labels, pad) in device_prefetch(
-            distributed.sync_host_streams(loader, "eval"), mesh,
-            host_keep=lambda b: (b.labels, b.pad)):
-        ring.append(
-            (step_fn(state.params_teacher, state.params_student, f, l, n),
-             labels, pad))
-        if len(ring) >= depth:
+    steps = max(1, getattr(args, "steps_per_dispatch", 1))
+    if steps > 1:
+        # steps-per-dispatch: K batches scanned in one launch, one
+        # packed fetch (see cli/eval.py — same loop, with the per-batch
+        # L_REP riding along). Epoch metrics bit-identical.
+        from efficientvideoclassification_youtube8m_tpu.parallel import (
+            shard_stacked_batch,
+        )
+
+        def drain_stack(out, metas):
+            lrep = np.asarray(out["student_loss_state"])
+            for i, rows in enumerate(
+                    distributed.gather_stacked_outputs(out["host_pack"],
+                                                       metas)):
+                accumulate(rows, float(lrep[i]))
+
+        def dispatch(bufs):
+            metas = [(b.labels, b.pad) for b in bufs]
+            feats = [b.features for b in bufs]
+            labs = [b.labels for b in bufs]
+            nfs = [b.num_frames for b in bufs]
+            for _ in range(steps - len(bufs)):
+                # epoch-tail filler: fully-padded dummy, slices unread
+                feats.append(np.zeros_like(feats[0]))
+                labs.append(np.zeros_like(labs[0]))
+                nfs.append(np.zeros_like(nfs[0]))
+            dev = shard_stacked_batch(
+                mesh, np.stack(feats), np.stack(labs), np.stack(nfs))
+            ring.append(
+                (step_fn(state.params_teacher, state.params_student, *dev),
+                 metas))
+
+        buf = []
+        for batch in distributed.sync_host_streams(loader, "eval"):
+            buf.append(batch)
+            if len(buf) == steps:
+                dispatch(buf)
+                buf = []
+                if len(ring) >= depth:
+                    drain_stack(*ring.popleft())
+        if buf:
+            dispatch(buf)
+        while ring:
+            drain_stack(*ring.popleft())
+    else:
+        for (f, l, n), (labels, pad) in device_prefetch(
+                distributed.sync_host_streams(loader, "eval"), mesh,
+                host_keep=lambda b: (b.labels, b.pad)):
+            ring.append(
+                (step_fn(state.params_teacher, state.params_student, f, l, n),
+                 labels, pad))
+            if len(ring) >= depth:
+                drain(*ring.popleft())
+        while ring:
             drain(*ring.popleft())
-    while ring:
-        drain(*ring.popleft())
     epoch_data = evl_metrics.get()
     epoch_data["epoch_id"] = global_step_val
     logger.info(
@@ -139,10 +187,20 @@ def evaluate(args):
         init_distill_state(cfg, optimizer, host_optimizer_state=True),
         mesh, _PLACED,
     )
-    step_fn = build_sharded_validate_step(
-        cfg, mesh, template.params_teacher, template.params_student,
-        top_k=args.top_k,
-    )
+    if max(1, getattr(args, "steps_per_dispatch", 1)) > 1:
+        from efficientvideoclassification_youtube8m_tpu.parallel import (
+            build_sharded_validate_step_stacked,
+        )
+
+        step_fn = build_sharded_validate_step_stacked(
+            cfg, mesh, template.params_teacher, template.params_student,
+            top_k=args.top_k,
+        )
+    else:
+        step_fn = build_sharded_validate_step(
+            cfg, mesh, template.params_teacher, template.params_student,
+            top_k=args.top_k,
+        )
     writer = summary_lib.for_master(
         os.path.join(cfg.train_dir, "eval"), host.is_master
     )
@@ -173,6 +231,11 @@ def evaluate(args):
 def main(argv=None):
     flags_lib.setup_logging()
     parser = flags_lib.base_parser("Validate the student on YT8M (TPU)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="K>1: scan K batches per device launch (one "
+                        "packed fetch) — amortizes per-launch dispatch "
+                        "latency on high-latency links; epoch metrics are "
+                        "bit-identical")
     args = parser.parse_args(argv)
     flags_lib.dump_flags(args, logger)
     evaluate(args)

@@ -298,6 +298,50 @@ def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.nda
     return {k: v[keep] for k, v in gathered.items()}, int(pads.sum())
 
 
+def _unpack_host_pack(pack: np.ndarray, labels) -> Dict[str, Any]:
+    """Split one packed [B, 2k+2] eval buffer (train/step.py:
+    _pack_host_outputs) back into its fields."""
+    k = (pack.shape[1] - 2) // 2
+    return {
+        "topk_val": pack[:, :k],
+        "topk_idx": pack[:, k:2 * k].astype(np.int32),
+        "per_example_loss": pack[:, 2 * k],
+        "perr_precision": pack[:, 2 * k + 1],
+        "labels": labels,
+    }
+
+
+def _local_rows_axis1(x) -> np.ndarray:
+    """This host's rows of a [K, B, ...] stack whose BATCH axis (1) is
+    sharded over the data axis — `local_rows`' contract shifted one
+    axis right (the stacked eval program's output layout)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    parts: Dict[int, np.ndarray] = {}
+    for shard in x.addressable_shards:
+        start = shard.index[1].start or 0
+        if start not in parts:  # model-axis replicas carry the same rows
+            parts[start] = np.asarray(shard.data)
+    return np.concatenate([parts[k] for k in sorted(parts)], axis=1)
+
+
+def gather_stacked_outputs(packs, metas):
+    """Per-batch row streams of ONE stacked eval launch
+    (parallel.build_sharded_eval_step_stacked).
+
+    `packs` is the [K, B, 2k+2] program output (axis 1 row-sharded);
+    `metas` lists `(labels, pad)` for the REAL leading batches —
+    shorter than K when the epoch tail padded the stack with dummy
+    batches, whose slices are simply never read. The whole stack
+    crosses the device->host edge in ONE transfer; yields
+    `gather_step_outputs`-shaped row dicts in batch order, so epoch
+    metrics are bit-identical to the per-batch loop."""
+    pack = _local_rows_axis1(packs)
+    for i, (labels, pad) in enumerate(metas):
+        rows, _ = gather_eval_rows(_unpack_host_pack(pack[i], labels), pad)
+        yield rows
+
+
 def gather_step_outputs(out: Dict[str, Any], labels, pad: int) -> Dict[str, np.ndarray]:
     """The eval CLIs' shared per-batch assembly: this host's rows of the
     step outputs + its labels, gathered into the global valid-row stream
@@ -308,15 +352,9 @@ def gather_step_outputs(out: Dict[str, Any], labels, pad: int) -> Dict[str, np.n
     transfer and is unpacked here — fetch round trips are the eval
     loop's critical path on high-latency links."""
     if "host_pack" in out:
-        pack = np.asarray(local_rows(out["host_pack"]))
-        k = (pack.shape[1] - 2) // 2
-        fields = {
-            "topk_val": pack[:, :k],
-            "topk_idx": pack[:, k:2 * k].astype(np.int32),
-            "per_example_loss": pack[:, 2 * k],
-            "perr_precision": pack[:, 2 * k + 1],
-            "labels": labels,
-        }
+        fields = _unpack_host_pack(
+            np.asarray(local_rows(out["host_pack"])), labels
+        )
     else:
         fields = {
             "topk_val": local_rows(out["topk_val"]),

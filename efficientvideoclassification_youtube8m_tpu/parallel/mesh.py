@@ -148,6 +148,40 @@ def shard_batch(mesh: Mesh, features, labels, num_frames):
     )
 
 
+def shard_stacked_batch(mesh: Mesh, features, labels, num_frames):
+    """`shard_batch` for a STACK of K batches ([K, B, ...] arrays): the
+    batch rows (axis 1) shard over the data axis; the stack axis stays
+    whole on every device. Feeds the steps-per-dispatch eval program
+    (parallel.build_sharded_eval_step_stacked), which scans the K
+    batches inside one launch."""
+    fs = NamedSharding(
+        mesh, P(None, DATA_AXIS, *([None] * (features.ndim - 2)))
+    )
+    ls = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    ns = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() > 1:
+        count = jax.process_count()
+
+        def assemble(x, sharding):
+            global_shape = (
+                (x.shape[0], x.shape[1] * count) + tuple(x.shape[2:])
+            )
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x), global_shape
+            )
+
+        return (
+            assemble(features, fs),
+            assemble(labels, ls),
+            assemble(num_frames, ns),
+        )
+    return (
+        jax.device_put(features, fs),
+        jax.device_put(labels, ls),
+        jax.device_put(num_frames, ns),
+    )
+
+
 def device_prefetch(loader, mesh: Mesh, depth: int = 1, host_keep=None):
     """Yield `(sharded_device_arrays, host_kept)` pairs with the H2D
     transfer running `depth` batches ahead.

@@ -186,6 +186,111 @@ def build_sharded_eval_step(
                    out_shardings=_eval_metric_shardings(mesh))
 
 
+def build_sharded_validate_step_stacked(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    params_teacher_template: Any,
+    params_student_template: Any,
+    top_k: int = 20,
+    min_dim: int = 4200,
+):
+    """build_sharded_validate_step's steps-per-dispatch variant: K
+    stacked batches scanned in ONE launch, returning the packed host
+    buffer [K, B, 2k+2] plus the per-batch L_REP ([K]) that
+    cli.validate logs. Same amortization story as
+    build_sharded_eval_step_stacked (below)."""
+    step = build_validate_step(cfg, top_k)
+    model_size = mesh.shape.get("model", 1)
+    pt_shard = to_named(
+        shard_state_specs(params_teacher_template, model_size, min_dim), mesh
+    )
+    ps_shard = to_named(
+        shard_state_specs(params_student_template, model_size, min_dim), mesh
+    )
+
+    def stacked(pt, ps, features, labels, num_frames):
+        def body(carry, batch):
+            f, l, n = batch
+            out = step(pt, ps, f, l, n)
+            return carry, (out["host_pack"], out["student_loss_state"])
+
+        _, (packs, lrep) = jax.lax.scan(
+            body, None, (features, labels, num_frames))
+        return {"host_pack": packs, "student_loss_state": lrep}
+
+    fs = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+    ls = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    ns = NamedSharding(mesh, P(None, DATA_AXIS))
+    out_shard = {
+        "host_pack": NamedSharding(mesh, P(None, DATA_AXIS, None)),
+        "student_loss_state": NamedSharding(mesh, P()),
+    }
+    return jax.jit(stacked, in_shardings=(pt_shard, ps_shard, fs, ls, ns),
+                   out_shardings=out_shard)
+
+
+def build_sharded_eval_step_stacked(
+    cfg: TrainConfig,
+    mesh: Mesh,
+    params_student_template: Any,
+    top_k: int = 20,
+    min_dim: int = 4200,
+    host_subsampled: bool = False,
+    aggregated: bool = False,
+    quantized: bool = False,
+):
+    """K eval batches per LAUNCH: `lax.scan` of the per-batch eval step
+    over stacked [K, B, ...] inputs, returning only the packed host
+    buffer [K, B, 2k+2].
+
+    On high-launch-latency links, per-launch dispatch is the eval
+    loop's floor (the reference paid the same per-`session.run` round
+    trip, eval_finetune.py:147-156); scanning K batches inside one
+    program amortizes it K-fold and the whole stack's outputs cross the
+    device->host edge in one transfer. The scan body IS
+    build_eval_step's math on each [B, ...] slice, so epoch metrics are
+    bit-identical to the per-batch program (tests/test_stacked_eval.py).
+    K is baked at trace time — one compiled program per distinct K; the
+    CLI pads the epoch's final partial stack with dummy batches whose
+    output slices are never read.
+
+    `quantized=True` scans the int8 step instead (pass the quantized
+    params template); data-parallel meshes only, like
+    build_sharded_quantized_eval_step."""
+    if quantized:
+        if mesh.shape.get("model", 1) != 1:
+            raise ValueError("--quantize int8 eval is data-parallel only")
+        step = build_quantized_eval_step(cfg, top_k,
+                                         host_subsampled=host_subsampled)
+        ps_shard = to_named(
+            jax.tree.map(lambda _: P(), params_student_template), mesh
+        )
+    else:
+        step = build_eval_step(cfg, top_k, host_subsampled=host_subsampled,
+                               aggregated=aggregated)
+        ps_shard = to_named(
+            shard_state_specs(params_student_template,
+                              mesh.shape.get("model", 1), min_dim),
+            mesh,
+        )
+
+    def stacked(params, features, labels, num_frames):
+        def body(carry, batch):
+            f, l, n = batch
+            return carry, step(params, f, l, n)["host_pack"]
+
+        _, packs = jax.lax.scan(body, None, (features, labels, num_frames))
+        return packs
+
+    fnd = 2 if aggregated else 3
+    fs = NamedSharding(mesh, P(None, DATA_AXIS, *([None] * (fnd - 1))))
+    ls = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    ns = NamedSharding(mesh, P(None, DATA_AXIS))
+    out = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    return jax.jit(stacked, in_shardings=(ps_shard, fs, ls, ns),
+                   out_shardings=out)
+
+
 def build_sharded_quantized_eval_step(
     cfg: TrainConfig,
     mesh: Mesh,

@@ -121,6 +121,38 @@ def test_02_validate(pipeline_dirs):
     ])
 
 
+def test_02b_validate_steps_per_dispatch_identical(pipeline_dirs):
+    """cli.validate --steps_per_dispatch K: identical epoch metrics to
+    the per-batch loop (both towers run; L_REP rides the stacked
+    output)."""
+    from efficientvideoclassification_youtube8m_tpu.cli import validate as val_cli
+    from efficientvideoclassification_youtube8m_tpu.metrics import eval_util
+
+    captured = {}
+    orig = eval_util.EvaluationMetrics.get
+
+    def capture(self):
+        data = orig(self)
+        captured.setdefault("runs", []).append(data)
+        return data
+
+    eval_util.EvaluationMetrics.get = capture
+    try:
+        for steps in ("1", "3"):
+            val_cli.main(TINY_FLAGS + [
+                "--train_dir", pipeline_dirs["train_dir"],
+                "--eval_data_pattern", pipeline_dirs["eval_pattern"],
+                "--run_once", "true",
+                "--steps_per_dispatch", steps,
+            ])
+    finally:
+        eval_util.EvaluationMetrics.get = orig
+    base, stacked = captured["runs"]
+    for key in ("avg_hit_at_one", "avg_perr", "avg_loss", "gap"):
+        assert base[key] == stacked[key], (key, base[key], stacked[key])
+    np.testing.assert_array_equal(base["aps"], stacked["aps"])
+
+
 def test_03_convert(pipeline_dirs):
     from efficientvideoclassification_youtube8m_tpu.cli import convert as conv_cli
 
@@ -187,6 +219,39 @@ def test_05b_eval_quantized_close_to_float(pipeline_dirs):
     assert abs(base["avg_hit_at_one"] - quant["avg_hit_at_one"]) <= 0.05
     assert abs(base["gap"] - quant["gap"]) <= 0.05
     assert np.isfinite(quant["avg_loss"])
+
+
+def test_05c_eval_steps_per_dispatch_identical(pipeline_dirs):
+    """--steps_per_dispatch K (the stacked K-batches-per-launch eval)
+    must give EXACTLY the per-batch loop's epoch metrics — including the
+    partial final stack (10 videos / batch 8 = 2 batches; K=3 pads the
+    stack with a dummy batch whose slice is never read)."""
+    from efficientvideoclassification_youtube8m_tpu.cli import eval as eval_cli
+    from efficientvideoclassification_youtube8m_tpu.metrics import eval_util
+
+    captured = {}
+    orig = eval_util.EvaluationMetrics.get
+
+    def capture(self):
+        data = orig(self)
+        captured.setdefault("runs", []).append(data)
+        return data
+
+    eval_util.EvaluationMetrics.get = capture
+    try:
+        for steps in ("1", "3"):
+            eval_cli.main(TINY_FLAGS + [
+                "--train_dir", pipeline_dirs["finetune_dir"],
+                "--eval_data_pattern", pipeline_dirs["eval_pattern"],
+                "--run_once", "true",
+                "--steps_per_dispatch", steps,
+            ])
+    finally:
+        eval_util.EvaluationMetrics.get = orig
+    base, stacked = captured["runs"]
+    for key in ("avg_hit_at_one", "avg_perr", "avg_loss", "gap"):
+        assert base[key] == stacked[key], (key, base[key], stacked[key])
+    np.testing.assert_array_equal(base["aps"], stacked["aps"])
 
 
 def test_06_infer_and_bias(pipeline_dirs):
