@@ -286,6 +286,30 @@ def test_06_infer_and_bias(pipeline_dirs):
     pipeline_dirs["csv_b"] = out_csv_b
 
 
+def test_06c_infer_steps_per_dispatch(pipeline_dirs):
+    """cli.infer --steps_per_dispatch K builds rows from the device
+    top-k out of the stacked packed buffer: per-video {label: prob}
+    must equal the K=1 (full-predictions, host argpartition) CSV —
+    ordering may legitimately differ only on exact probability ties."""
+    from efficientvideoclassification_youtube8m_tpu.cli import infer as infer_cli
+    from efficientvideoclassification_youtube8m_tpu.ensemble import read_pred_file
+
+    out_csv = str(pipeline_dirs["root"] / "preds_stacked.csv")
+    infer_cli.main(TINY_FLAGS + [
+        "--train_dir", pipeline_dirs["finetune_dir"],
+        "--input_data_pattern", pipeline_dirs["eval_pattern"],
+        "--output_file", out_csv,
+        "--steps_per_dispatch", "3",
+    ])
+    base = read_pred_file(pipeline_dirs["csv_a"])
+    stacked = read_pred_file(out_csv)
+    assert base.keys() == stacked.keys()
+    for vid in base:
+        bl, bp = base[vid]
+        sl, sp = stacked[vid]
+        assert dict(zip(bl, bp)) == dict(zip(sl, sp)), vid
+
+
 def test_07_max_ensemble(pipeline_dirs):
     from efficientvideoclassification_youtube8m_tpu.cli import (
         max_ensemble as me_cli,
