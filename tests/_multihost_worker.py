@@ -182,6 +182,42 @@ assert losses.shape[0] == 2 and abs(losses[0] - losses[1]) == 0.0, losses
 topk_mine = distributed.local_rows(metrics["topk_val"])
 assert topk_mine.shape == (hc.local_batch_size, 3)
 
+# --- stacked steps-per-dispatch eval under REAL multi-host ---------------
+# K batches per launch (cli.eval --steps_per_dispatch): the [K, B, ...]
+# global assembly (shard_stacked_batch), the axis-1 addressable-shard
+# fetch (_local_rows_axis1), and gather_stacked_outputs' per-batch
+# streams must reproduce the per-batch program's gathered rows exactly.
+from efficientvideoclassification_youtube8m_tpu.parallel import (  # noqa: E402
+    build_sharded_eval_step,
+    build_sharded_eval_step_stacked,
+    shard_stacked_batch,
+)
+from jax.sharding import NamedSharding  # noqa: E402
+
+ps_host = jax.tree.map(
+    np.asarray, init_distill_state(cfg, opt).params_student
+)
+ev = build_sharded_eval_step(cfg, mesh, ps_host, top_k=3)
+ev_stacked = build_sharded_eval_step_stacked(cfg, mesh, ps_host, top_k=3)
+params_student = jax.device_put(ps_host, NamedSharding(mesh, P()))
+kf = np.stack([all_feats[lo:hi], all_feats[lo:hi][::-1]])
+kl = np.stack([all_labels[lo:hi]] * 2)
+kn = np.stack([all_nf[lo:hi]] * 2)
+sf, sl, sn = shard_stacked_batch(mesh, kf, kl, kn)
+assert sf.shape == (2, 8, cfg.max_num_frames, cfg.total_feature_size), sf.shape
+out_stacked = ev_stacked(params_student, sf, sl, sn)
+metas = [(all_labels[lo:hi], 1), (all_labels[lo:hi], 0)]  # batch 0: 1 pad row
+rows_list = list(distributed.gather_stacked_outputs(out_stacked, metas))
+assert len(rows_list) == 2
+for j, rows in enumerate(rows_list):
+    bf, bl_, bn = shard_batch(mesh, kf[j], kl[j], kn[j])
+    ref = distributed.gather_step_outputs(
+        ev(params_student, bf, bl_, bn), all_labels[lo:hi], metas[j][1]
+    )
+    for key in ("topk_val", "topk_idx", "per_example_loss",
+                "perr_precision", "labels"):
+        np.testing.assert_array_equal(rows[key], ref[key], err_msg=key)
+
 # --- master-decision broadcasts (cadence flags, checkpoint election) -----
 assert distributed.broadcast_flag(PID == 0) is True  # master said True
 assert distributed.broadcast_flag(False if PID == 0 else True) is False
