@@ -19,11 +19,11 @@ from efficientvideoclassification_youtube8m_tpu.data import (
 )
 from efficientvideoclassification_youtube8m_tpu.metrics import train_step_metrics
 from efficientvideoclassification_youtube8m_tpu.train import (
+    AsyncCheckpointSaver,
     init_distill_state,
     latest_checkpoint,
     make_optimizer,
     restore_checkpoint,
-    save_checkpoint,
     student_state_from_distill,
 )
 from efficientvideoclassification_youtube8m_tpu.utils import summary as summary_lib
@@ -160,6 +160,7 @@ def finetune(args):
                       global_step_val)
         writer.flush()
 
+    saver = AsyncCheckpointSaver(enabled=args.async_checkpoint)
     # one-step-lagged logging: the metric fetch overlaps device compute;
     # device_prefetch overlaps the next batch's H2D with this step
     pending = None
@@ -178,18 +179,20 @@ def finetune(args):
         if distributed.broadcast_flag(
                 time.time() - last_save > args.save_model_secs):
             # snapshot named with the step stored IN the saved state.
-            # EVERY process calls save_checkpoint (orbax saves are
-            # collective); it writes master-only where needed.
-            save_checkpoint(cfg.train_dir, state,
-                            int(jax.device_get(state.global_step)),
-                            backend=args.checkpoint_format)
+            # EVERY process calls save (orbax saves are collective); it
+            # writes master-only where needed. Async: the fetch+write
+            # overlaps the next steps (sync fallback for orbax/multi-host).
+            saver.save(cfg.train_dir, state,
+                       int(jax.device_get(state.global_step)),
+                       backend=args.checkpoint_format)
             last_save = time.time()
     if pending is not None:
         log_step(pending[0], pending[1], time.time() - pending[2])
     logger.info("Done training -- epoch limit reached.")
-    save_checkpoint(cfg.train_dir, state,
-                    int(jax.device_get(state.global_step)),
-                    backend=args.checkpoint_format)
+    saver.save(cfg.train_dir, state,
+               int(jax.device_get(state.global_step)),
+               backend=args.checkpoint_format)
+    saver.wait()  # the final snapshot must be on disk before exit
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

@@ -118,6 +118,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    "save_summaries_secs, train.py:503)")
     p.add_argument("--checkpoint_format", default="msgpack",
                    choices=["msgpack", "orbax"])
+    p.add_argument("--async_checkpoint", type=_bool, default=True,
+                   help="overlap periodic checkpoint writes with training "
+                   "(on-device snapshot + background fetch/write; the "
+                   "final save is always joined before exit). Applies to "
+                   "single-process msgpack saves; orbax and multi-host "
+                   "saves are collectives and stay synchronous")
     p.add_argument("--use_native_io", type=_bool, default=True)
     p.add_argument("--fetch_depth", type=int, default=4,
                    help="in-flight dispatch depth of the eval loops' "

@@ -18,11 +18,11 @@ from efficientvideoclassification_youtube8m_tpu.cli import flags as flags_lib
 from efficientvideoclassification_youtube8m_tpu.data import FrameDataLoader
 from efficientvideoclassification_youtube8m_tpu.metrics import train_step_metrics
 from efficientvideoclassification_youtube8m_tpu.train import (
+    AsyncCheckpointSaver,
     init_distill_state,
     latest_checkpoint,
     make_optimizer,
     restore_checkpoint,
-    save_checkpoint,
 )
 from efficientvideoclassification_youtube8m_tpu.utils import summary as summary_lib
 
@@ -120,6 +120,7 @@ def train(args) -> None:
     )
 
     writer = summary_lib.for_master(cfg.train_dir, host.is_master)
+    saver = AsyncCheckpointSaver(enabled=args.async_checkpoint)
     start_time = time.time()
     last_save = time.time()
     last_summary = time.time()
@@ -211,20 +212,23 @@ def train(args) -> None:
                 # name the snapshot with the step stored IN the saved
                 # state (the reference's Saver uses the graph's own
                 # global_step, train.py:502) — not the lagged log step.
-                # EVERY process calls save_checkpoint (the orbax backend
-                # is a collective); it writes master-only where needed.
-                save_checkpoint(cfg.train_dir, state,
-                                int(jax.device_get(state.global_step)),
-                                backend=args.checkpoint_format)
+                # EVERY process calls save (the orbax backend is a
+                # collective); it writes master-only where needed. The
+                # async saver overlaps the fetch+write with the next
+                # steps (sync fallback for orbax/multi-host).
+                saver.save(cfg.train_dir, state,
+                           int(jax.device_get(state.global_step)),
+                           backend=args.checkpoint_format)
                 last_save = time.time()
         if pending is not None:
             log_step(pending[0], pending[1], time.time() - pending[2])
     except KeyboardInterrupt:
         logger.info("Interrupted; saving checkpoint.")
     logger.info("Done training -- epoch limit reached.")
-    save_checkpoint(cfg.train_dir, state,
-                    int(jax.device_get(state.global_step)),
-                    backend=args.checkpoint_format)
+    saver.save(cfg.train_dir, state,
+               int(jax.device_get(state.global_step)),
+               backend=args.checkpoint_format)
+    saver.wait()  # the final snapshot must be on disk before exit
     writer.close()
     print("Total time taken is " + str(time.time() - start_time))
 

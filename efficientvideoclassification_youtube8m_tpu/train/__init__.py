@@ -1,4 +1,5 @@
 from efficientvideoclassification_youtube8m_tpu.train.checkpoint import (
+    AsyncCheckpointSaver,
     latest_checkpoint,
     restore_checkpoint,
     restore_subtree,
@@ -25,6 +26,7 @@ from efficientvideoclassification_youtube8m_tpu.train.step import (
 )
 
 __all__ = [
+    "AsyncCheckpointSaver",
     "latest_checkpoint",
     "restore_checkpoint",
     "restore_subtree",

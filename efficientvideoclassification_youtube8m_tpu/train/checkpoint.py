@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import threading
 from typing import Any, List, Optional
 
 import flax.serialization
@@ -115,6 +116,75 @@ def save_checkpoint(
             except OSError:
                 pass
     return path
+
+
+class AsyncCheckpointSaver:
+    """Checkpoint writes overlapped with training.
+
+    The training loop's periodic `save_checkpoint` stalls it for the full
+    device->host fetch plus the file write (the reference's `tf.train.Saver`
+    blocks the Supervisor loop the same way, train.py:496-504). `save()`
+    instead snapshots the state on-device with one jitted identity copy —
+    REQUIRED because the train step donates its state buffers
+    (parallel/sharded_step.py donate_argnums=(0,)), so the next dispatched
+    step invalidates the original arrays while a save is in flight — and
+    hands the snapshot to a background thread that runs the ordinary
+    `save_checkpoint` (device_get releases the GIL during the D2H
+    transfer, so it overlaps subsequently dispatched steps).
+
+    Scope: the msgpack backend in a single process. Orbax saves are
+    device-collectives and multi-host msgpack runs a cross-process
+    validation barrier — interleaving either with training-step
+    collectives from a second thread can reorder collectives across hosts
+    and deadlock, so those fall back to the synchronous path.
+
+    One save in flight at a time: a second `save()` joins the first
+    (pointer-file updates stay ordered). `wait()` joins and re-raises any
+    background failure; call it before restoring from or handing off the
+    train_dir, and at loop exit.
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self._thread: Optional[threading.Thread] = None
+        self._exc: Optional[BaseException] = None
+        self._snapshot = None  # jitted donation-safe copy, built lazily
+
+    def save(self, train_dir: str, state: Any, step: int,
+             max_to_keep: int = 1, backend: str = "msgpack") -> None:
+        if not self.enabled or backend != "msgpack" or jax.process_count() > 1:
+            self.wait()
+            save_checkpoint(train_dir, state, step,
+                            max_to_keep=max_to_keep, backend=backend)
+            return
+        self.wait()
+        if self._snapshot is None:
+            self._snapshot = jax.jit(
+                lambda s: jax.tree.map(
+                    lambda x: x.copy() if isinstance(x, jax.Array) else x, s
+                )
+            )
+        snap = self._snapshot(state)
+
+        def _run():
+            try:
+                save_checkpoint(train_dir, snap, step,
+                                max_to_keep=max_to_keep, backend="msgpack")
+            except BaseException as e:  # surfaced at the next wait()/save()
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=_run, name="ckpt-writer", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def _list_checkpoints(train_dir: str) -> List[str]:

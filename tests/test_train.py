@@ -324,6 +324,93 @@ def test_checkpoint_roundtrip_and_surgery(tmp_path):
         restored_s.params_student, state2.params_student)
 
 
+def test_async_saver_matches_sync_and_survives_donation(tmp_path):
+    """AsyncCheckpointSaver writes the same bytes as the synchronous
+    save, and its on-device snapshot survives the train step's buffer
+    DONATION (sharded_step.py donate_argnums=(0,)): steps dispatched
+    after save() invalidate the original state buffers while the writer
+    thread is still fetching."""
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        AsyncCheckpointSaver,
+    )
+
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    feats, labels, nf = _tiny_batch(cfg, seed=7)
+    # donated like the CLIs' sharded step builders
+    step = jax.jit(build_distill_train_step(cfg, opt), donate_argnums=(0,))
+    state, _ = step(state, feats, labels, nf)
+
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    step_val = int(jax.device_get(state.global_step))
+    save_checkpoint(sync_dir, state, step_val)
+
+    saver = AsyncCheckpointSaver()
+    saver.save(async_dir, state, step_val)
+    # donate the saved state's buffers immediately: the snapshot (not
+    # the invalidated originals) must back the in-flight write
+    for _ in range(3):
+        state, _ = step(state, feats, labels, nf)
+    saver.wait()
+
+    sync_path = latest_checkpoint(sync_dir)
+    async_path = latest_checkpoint(async_dir)
+    assert checkpoint_step(async_path) == step_val
+    with open(sync_path, "rb") as f1, open(async_path, "rb") as f2:
+        assert f1.read() == f2.read()
+
+    # a second async save supersedes the first (pointer + max_to_keep)
+    step_val2 = int(jax.device_get(state.global_step))
+    saver.save(async_dir, state, step_val2)
+    saver.wait()
+    assert checkpoint_step(latest_checkpoint(async_dir)) == step_val2
+    import os
+    assert not os.path.exists(async_path)  # max_to_keep=1
+
+
+def test_async_saver_propagates_write_errors(tmp_path):
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        AsyncCheckpointSaver,
+    )
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file where the train_dir should be")
+    saver = AsyncCheckpointSaver()
+    saver.save(str(blocker), {"x": jax.numpy.ones((2,))}, 1)
+    with pytest.raises(OSError):
+        saver.wait()
+    # the saver is reusable after the failure
+    saver.save(str(tmp_path / "ok"), {"x": jax.numpy.ones((2,))}, 1)
+    saver.wait()
+    assert latest_checkpoint(str(tmp_path / "ok"))
+
+
+def test_async_saver_sync_fallback_for_orbax(tmp_path, monkeypatch):
+    """Non-msgpack backends route through the synchronous save (orbax
+    saves are device-collectives; a writer thread could reorder them
+    against training collectives across hosts)."""
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        AsyncCheckpointSaver,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        checkpoint as checkpoint_mod,
+    )
+
+    import threading
+
+    calls = []
+    monkeypatch.setattr(
+        checkpoint_mod, "save_checkpoint",
+        lambda *a, **kw: calls.append((threading.get_ident(), a, kw)))
+
+    saver = AsyncCheckpointSaver()
+    saver.save(str(tmp_path), {"x": jax.numpy.ones((2,))}, 1,
+               backend="orbax")
+    assert calls and calls[0][0] == threading.get_ident()  # ran inline
+    assert calls[0][2]["backend"] == "orbax"
+
+
 def test_distill_overfits_one_batch():
     """Learning sanity: both towers memorize a fixed batch (teacher
     Hit@1 -> 1.0) — end-to-end signal through preprocess, both scans,
@@ -385,14 +472,20 @@ def test_periodic_save_names_match_state_step(tmp_path, monkeypatch):
                                 feature_names=("rgb", "audio"),
                                 feature_sizes=(6, 2), max_frames=40,
                                 vocab_size=30)
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        checkpoint as checkpoint_mod,
+    )
+
     recorded = []
-    real_save = train_cli.save_checkpoint
+    real_save = checkpoint_mod.save_checkpoint
 
     def recording_save(train_dir, state, step, **kw):
+        # runs inside the AsyncCheckpointSaver's writer thread on the
+        # donation-safe snapshot — its stored step must still match
         recorded.append((step, int(jax.device_get(state.global_step))))
         return real_save(train_dir, state, step, **kw)
 
-    monkeypatch.setattr(train_cli, "save_checkpoint", recording_save)
+    monkeypatch.setattr(checkpoint_mod, "save_checkpoint", recording_save)
     train_cli.main([
         "--num_classes", "30", "--batch_size", "8", "--lstm_cells", "8",
         "--lstm_layers", "2", "--max_num_frames", "40",
