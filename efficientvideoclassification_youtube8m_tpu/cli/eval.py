@@ -51,6 +51,7 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         max_frames=cfg.max_num_frames,
         vocab_size=cfg.num_classes,
         num_readers=cfg.num_readers,
+        deterministic=cfg.deterministic_input,
         num_epochs=1,
         shuffle=False,
         shard_index=host.process_index,

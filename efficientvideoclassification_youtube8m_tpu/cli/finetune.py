@@ -110,6 +110,7 @@ def finetune(args):
         max_frames=cfg.max_num_frames,
         vocab_size=cfg.num_classes,
         num_readers=cfg.num_readers,
+        deterministic=cfg.deterministic_input,
         num_epochs=cfg.num_epochs,
         shuffle=True,
         seed=cfg.seed,

@@ -125,6 +125,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    "single-process msgpack saves; orbax and multi-host "
                    "saves are collectives and stay synchronous")
     p.add_argument("--use_native_io", type=_bool, default=True)
+    p.add_argument("--deterministic_input", type=_bool, default=False,
+                   help="make the multi-reader input pipeline yield the "
+                   "single-reader batch stream exactly (round-robin file "
+                   "dispatch + in-order drain; files still parse "
+                   "concurrently) — reproducible runs at a small "
+                   "throughput cost under skewed shard sizes")
     p.add_argument("--fetch_depth", type=int, default=4,
                    help="in-flight dispatch depth of the eval loops' "
                    "lag-N fetch ring (1 = sequential fetch); FIFO drain "

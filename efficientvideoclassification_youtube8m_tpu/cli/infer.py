@@ -139,6 +139,7 @@ def inference(args):
         max_frames=cfg.max_num_frames,
         vocab_size=cfg.num_classes,
         num_readers=cfg.num_readers,
+        deterministic=cfg.deterministic_input,
         num_epochs=1,
         shuffle=False,
         pad_final_batch=True,

@@ -77,6 +77,7 @@ def inference(args):
         feature_sizes=cfg.feature_sizes_list,
         vocab_size=cfg.num_classes,
         num_readers=cfg.num_readers,
+        deterministic=cfg.deterministic_input,
         num_epochs=1,
         shuffle=False,
         pad_final_batch=True,

@@ -109,6 +109,7 @@ def train(args) -> None:
         max_frames=cfg.max_num_frames,
         vocab_size=cfg.num_classes,
         num_readers=cfg.num_readers,
+        deterministic=cfg.deterministic_input,
         num_epochs=cfg.num_epochs,
         shuffle=True,
         seed=cfg.seed,

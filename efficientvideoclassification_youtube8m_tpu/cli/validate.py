@@ -47,6 +47,7 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
         max_frames=cfg.max_num_frames,
         vocab_size=cfg.num_classes,
         num_readers=cfg.num_readers,
+        deterministic=cfg.deterministic_input,
         num_epochs=1,
         shuffle=False,
         shard_index=host.process_index,

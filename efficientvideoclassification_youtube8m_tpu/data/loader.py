@@ -34,6 +34,8 @@ from efficientvideoclassification_youtube8m_tpu.data import yt8m
 from efficientvideoclassification_youtube8m_tpu.data.tfrecord import TFRecordReader
 
 _STOP = object()
+_FILE_END = object()
+_STREAM_END = object()
 
 
 @dataclasses.dataclass
@@ -69,6 +71,7 @@ class FrameDataLoader:
         use_native: bool = True,
         bagging: bool = False,
         frame_stride: int = 1,
+        deterministic: bool = False,
     ):
         self.files = sorted(globlib.glob(data_pattern))
         if not self.files:
@@ -110,6 +113,7 @@ class FrameDataLoader:
         self.seed = seed
         self.pad_final_batch = pad_final_batch
         self.drop_remainder = drop_remainder
+        self.deterministic = deterministic
 
         self._native = None
         if use_native:
@@ -169,13 +173,12 @@ class FrameDataLoader:
                 video_q.put(e)
                 return
 
-    def __iter__(self) -> Iterator[FrameBatch]:
-        # distinct Random instances: the file stream's is advanced inside
-        # reader threads (under file_lock) while the consumer thread draws
-        # from the shuffle buffer — sharing one would race and break the
-        # seeded determinism
-        file_rng = random.Random(self.seed)
-        rng = random.Random(self.seed + 1)
+    def _videos_workstealing(self, file_rng) -> Iterator[yt8m.FrameVideo]:
+        """Default multi-reader stream: readers pull files from a shared
+        iterator (work stealing — best throughput under skewed shard
+        sizes) and feed one bounded queue; arrival order depends on
+        thread timing, like the reference's parallel-reader
+        `shuffle_batch_join` (train.py:154-176)."""
         video_q: "queue.Queue" = queue.Queue(maxsize=max(50 * self.batch_size, 256))
         file_iter = self._file_stream(file_rng)
         file_lock = threading.Lock()
@@ -192,23 +195,91 @@ class FrameDataLoader:
         ]
         for t in threads:
             t.start()
+        finished_readers = 0
+        while finished_readers < len(threads):
+            item = video_q.get()
+            if item is _STOP:
+                finished_readers += 1
+            elif isinstance(item, Exception):
+                raise item
+            else:
+                yield item
+
+    def _videos_deterministic(self, file_rng) -> Iterator[yt8m.FrameVideo]:
+        """Deterministic multi-reader stream (`deterministic=True`):
+        files are dispatched ROUND-ROBIN to per-reader queues and
+        drained strictly in file order (a FILE_END sentinel bounds each
+        file), so the yielded stream is identical to num_readers=1 —
+        batch composition no longer depends on thread timing — while
+        readers still parse several files ahead concurrently."""
+        R = self.num_readers
+        file_qs = [queue.Queue(maxsize=2) for _ in range(R)]
+        video_qs = [
+            queue.Queue(maxsize=max((50 * self.batch_size) // R, 64))
+            for _ in range(R)
+        ]
+
+        def dispatcher():
+            for i, path in enumerate(self._file_stream(file_rng)):
+                file_qs[i % R].put(path)
+            for q in file_qs:
+                q.put(None)
+
+        def reader(r):
+            while True:
+                path = file_qs[r].get()
+                if path is None:
+                    video_qs[r].put(_STREAM_END)
+                    return
+                try:
+                    for v in self._iter_file(path):
+                        video_qs[r].put(v)
+                    video_qs[r].put(_FILE_END)
+                except Exception as e:  # surfaced when the drain reaches it
+                    video_qs[r].put(e)
+                    return
+
+        threads = [threading.Thread(target=dispatcher, daemon=True)] + [
+            threading.Thread(target=reader, args=(r,), daemon=True)
+            for r in range(R)
+        ]
+        for t in threads:
+            t.start()
+        k = 0  # global file index being drained
+        while True:
+            q = video_qs[k % R]
+            while True:
+                item = q.get()
+                if item is _FILE_END:
+                    break
+                if item is _STREAM_END:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+            k += 1
+
+    def __iter__(self) -> Iterator[FrameBatch]:
+        # distinct Random instances: the file stream's is advanced inside
+        # reader threads while the consumer thread draws from the shuffle
+        # buffer — sharing one would race and break the seeded determinism
+        file_rng = random.Random(self.seed)
+        rng = random.Random(self.seed + 1)
+        if self.deterministic and self.num_readers > 1:
+            videos = self._videos_deterministic(file_rng)
+        else:
+            videos = self._videos_workstealing(file_rng)
 
         buffer: List[yt8m.FrameVideo] = []
-        finished_readers = 0
         exhausted = False
         while True:
             while not exhausted and len(buffer) < (
                 self.shuffle_buffer if self.shuffle else self.batch_size
             ):
-                item = video_q.get()
-                if item is _STOP:
-                    finished_readers += 1
-                    if finished_readers == len(threads):
-                        exhausted = True
-                elif isinstance(item, Exception):
-                    raise item
-                else:
-                    buffer.append(item)
+                try:
+                    buffer.append(next(videos))
+                except StopIteration:
+                    exhausted = True
             if not buffer:
                 return
             take = min(self.batch_size, len(buffer))

@@ -90,6 +90,13 @@ class TrainConfig:
     lstm_pallas_train: bool = True
     faithful_quirks: bool = True  # L_REP double-count + global_step += 2
     use_native_io: bool = True
+    # deterministic multi-reader input: round-robin file dispatch +
+    # in-file-order drain makes the batch stream identical to the
+    # single-reader stream (and across relaunches) while files still
+    # parse concurrently. Off = work-stealing readers (highest
+    # throughput under skewed shard sizes; arrival order then depends
+    # on thread timing, like the reference's shuffle_batch_join).
+    deterministic_input: bool = False
     # synced (cross-shard) batch-norm moments under the shard_map train
     # path: one extra pmean per BN layer makes DBoF's gradients match the
     # GSPMD global-batch-statistics path exactly. Off = standard unsynced
