@@ -79,6 +79,12 @@ def main():
     ap.add_argument("--num_epochs", type=int, default=30)
     ap.add_argument("--lstm_pallas_train", default="false",
                     help="forwarded to cli.train (fused train kernels)")
+    ap.add_argument("--deterministic_input", default="false",
+                    help="forwarded to cli.train/validate: replayable "
+                    "batch order (the recorded bands were measured with "
+                    "work-stealing readers, whose plateau-escape step "
+                    "varies run to run — use this to pin a trajectory "
+                    "when bisecting a suspected convergence change)")
     args = ap.parse_args()
     workdir = args.workdir or tempfile.mkdtemp(prefix="yt8m_acceptance_")
     data_dir = os.path.join(workdir, "yt8m")
@@ -117,6 +123,7 @@ def main():
         "--lstm_layers", "2",
         "--every_n", "10",
         "--num_readers", "4",
+        "--deterministic_input", args.deterministic_input,
         "--compute_dtype", "bfloat16",
         "--scan_unroll", str(args.scan_unroll),
         "--save_model_secs", "100000",  # one final checkpoint
