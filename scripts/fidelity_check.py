@@ -116,7 +116,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--num_videos", type=int, default=10)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="pin the JAX backend; 'cpu' runs the whole "
+                    "pipeline off-TPU (~20 min at flagship dims on one "
+                    "core). The sitecustomize pins the TPU tunnel at "
+                    "interpreter start, so an env var alone cannot — "
+                    "this updates jax.config before backend init.")
     args = ap.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     workdir = args.workdir or tempfile.mkdtemp(prefix="yt8m_fidelity_")
     data_dir = os.path.join(workdir, "yt8m")
     os.makedirs(data_dir, exist_ok=True)
