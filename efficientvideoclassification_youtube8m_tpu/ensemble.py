@@ -18,18 +18,34 @@ import numpy as np
 def format_lines(video_ids: Sequence[str], predictions: np.ndarray,
                  top_k: int) -> Iterator[str]:
     """Top-k 'class prob' pairs per video, sorted by descending prob
-    (inference_ensemble.py:63-74)."""
+    (inference_ensemble.py:63-74).
+
+    Batched: one argpartition over the whole [B, V] matrix + one stable
+    argsort over the [B, k] winners instead of per-row numpy calls, and
+    `.tolist()` ahead of the string formatting (Python np-scalar access
+    dominates otherwise). Byte-identical to the per-row form: the same
+    introselect runs per row either way, and the stable descending sort
+    keeps ties in argpartition segment order exactly like the stable
+    Python `sorted(key=-prob)` it replaces (pinned in test_ensemble)."""
+    predictions = np.asarray(predictions)
+    if len(video_ids) == 0:
+        return
+    top = np.argpartition(predictions, -top_k, axis=1)[:, -top_k:]
+    vals = np.take_along_axis(predictions, top, axis=1)
+    order = np.argsort(-vals, axis=1, kind="stable")
+    idx_rows = np.take_along_axis(top, order, axis=1).tolist()
+    val_rows = np.take_along_axis(vals, order, axis=1).astype(np.float64).tolist()
+    fmt = " ".join(["%i %f"] * top_k)
     for video_index in range(len(video_ids)):
-        top_indices = np.argpartition(predictions[video_index], -top_k)[-top_k:]
-        line = [
-            (int(class_index), float(predictions[video_index][class_index]))
-            for class_index in top_indices
-        ]
-        line = sorted(line, key=lambda p: -p[1])
         vid = video_ids[video_index]
         if isinstance(vid, bytes):
             vid = vid.decode("utf-8")
-        yield vid + "," + " ".join("%i %f" % pair for pair in line) + "\n"
+        flat = [
+            x
+            for pair in zip(idx_rows[video_index], val_rows[video_index])
+            for x in pair
+        ]
+        yield vid + "," + (fmt % tuple(flat)) + "\n"
 
 
 def write_predictions_csv(path: str, rows: Iterator[str]):

@@ -37,6 +37,32 @@ def test_csv_roundtrip(tmp_path):
         np.testing.assert_allclose(sorted(probs, reverse=True), probs)
 
 
+def test_format_lines_byte_identical_to_per_row_oracle():
+    """The batched format_lines must emit the same BYTES as the per-row
+    reference form (inference_ensemble.py:63-74) — same argpartition
+    top-k SET and the stable descending sort keeping ties in segment
+    order — including duplicate probabilities and bytes video ids."""
+
+    def oracle(video_ids, predictions, top_k):
+        for i in range(len(video_ids)):
+            top_indices = np.argpartition(predictions[i], -top_k)[-top_k:]
+            line = [(int(c), float(predictions[i][c])) for c in top_indices]
+            line = sorted(line, key=lambda p: -p[1])
+            vid = video_ids[i]
+            if isinstance(vid, bytes):
+                vid = vid.decode("utf-8")
+            yield vid + "," + " ".join("%i %f" % p for p in line) + "\n"
+
+    rng = np.random.default_rng(3)
+    # quantized probs force plenty of exact ties at the k-th boundary
+    # and inside the top-k
+    preds = (rng.integers(0, 7, size=(64, VOCAB)) / 7.0).astype(np.float32)
+    ids = [f"v{i}".encode() if i % 3 else f"v{i}" for i in range(64)]
+    for k in (1, 5, VOCAB):
+        assert list(format_lines(ids, preds, k)) == list(oracle(ids, preds, k))
+    assert list(format_lines([], preds[:0], 5)) == []
+
+
 def test_load_old_predictions(tmp_path):
     rng = np.random.default_rng(1)
     ids = [f"v{i}" for i in range(4)]
