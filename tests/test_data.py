@@ -297,6 +297,39 @@ def test_loader_deterministic_multireader(tmp_path):
         assert stream(3, True, shuffle) == det3
 
 
+def test_deterministic_input_training_replays_bit_identical(tmp_path):
+    """--deterministic_input end-to-end guarantee: two cli.train runs
+    over the same shards with MULTIPLE reader threads produce
+    byte-identical checkpoints (same batches in the same order through
+    the same compiled program)."""
+    from efficientvideoclassification_youtube8m_tpu.cli import train as train_cli
+    from efficientvideoclassification_youtube8m_tpu.train import latest_checkpoint
+
+    for s, n in enumerate([5, 19, 8]):
+        write_synthetic_frame_shard(
+            str(tmp_path / f"train-{s:04d}.tfrecord"), num_videos=n, seed=s,
+            feature_names=("rgb", "audio"), feature_sizes=(6, 2),
+            max_frames=40, vocab_size=30)
+    ckpts = []
+    for run in ("a", "b"):
+        train_dir = str(tmp_path / f"model_{run}") + "/"
+        train_cli.main([
+            "--num_classes", "30", "--batch_size", "8", "--lstm_cells", "8",
+            "--lstm_layers", "2", "--max_num_frames", "40",
+            "--num_inputs_to_lstm", "4", "--num_inputs_L1", "2",
+            "--every_n", "2", "--feature_names", "rgb, audio",
+            "--feature_sizes", "6, 2", "--compute_dtype", "float32",
+            "--scan_unroll", "1", "--top_k", "5", "--num_epochs", "2",
+            "--num_readers", "3", "--deterministic_input", "true",
+            "--train_dir", train_dir,
+            "--train_data_pattern", str(tmp_path / "train-*.tfrecord"),
+            "--start_new_model", "true",
+        ])
+        with open(latest_checkpoint(train_dir), "rb") as f:
+            ckpts.append(f.read())
+    assert ckpts[0] == ckpts[1]
+
+
 def test_loader_deterministic_propagates_parse_errors(tmp_path):
     write_synthetic_frame_shard(
         str(tmp_path / "train-0000.tfrecord"), num_videos=3, seed=0,
