@@ -265,18 +265,24 @@ def run_eval(batch_size: int, compute_dtype: str):
         np.broadcast_to(nf, (K,) + nf.shape),
     )
     metas = [(labels, 0)] * K
-    evl2 = EvaluationMetrics(cfg.num_classes, cfg.top_k)
 
-    def drain_stack(packs):
-        for rows in distributed.gather_stacked_outputs(packs, metas):
-            evl2.accumulate_topk(
-                rows["topk_val"], rows["topk_idx"], rows["labels"],
-                rows["per_example_loss"],
-                perr_precision=rows["perr_precision"],
-            )
+    def make_drain(sink):
+        def drain_stack(packs):
+            for rows in distributed.gather_stacked_outputs(packs, metas):
+                sink.accumulate_topk(
+                    rows["topk_val"], rows["topk_idx"], rows["labels"],
+                    rows["per_example_loss"],
+                    perr_precision=rows["perr_precision"],
+                )
+        return drain_stack
 
     stacks = max(2, (iters + K - 1) // K)
-    drain_stack(stacked(params, fk, lk, nk))  # compile + settle
+    # warmup drains into a throwaway sink so the timed epoch flush below
+    # covers exactly the stacks*K batches it is credited for
+    make_drain(EvaluationMetrics(cfg.num_classes, cfg.top_k))(
+        stacked(params, fk, lk, nk))  # compile + settle
+    evl2 = EvaluationMetrics(cfg.num_classes, cfg.top_k)
+    drain_stack = make_drain(evl2)
     t0 = time.perf_counter()
     pending = None
     for _ in range(stacks):

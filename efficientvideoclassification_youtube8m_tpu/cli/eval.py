@@ -96,45 +96,17 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
         # steps-per-dispatch: stack K host batches, ONE launch scans
         # them (build_sharded_eval_step_stacked), one packed [K, B,
         # 2k+2] fetch — amortizes per-launch dispatch latency K-fold on
-        # high-latency links. The epoch's final partial stack is padded
-        # with dummy batches whose output slices are never read; drain
-        # order stays FIFO per batch, so epoch metrics are
-        # bit-identical to the per-batch loop.
-        import numpy as _np
-
-        from efficientvideoclassification_youtube8m_tpu.parallel import (
-            shard_stacked_batch,
-        )
-
-        def dispatch(bufs):
+        # high-latency links; epoch metrics bit-identical (the shared
+        # stack_batches/stacked_ring helpers pin the semantics).
+        def launch(bufs):
             metas = [(b.labels, b.pad) for b in bufs]
-            filler = len(bufs[0].labels)  # fully-padded dummy rows
-            feats = [b.features for b in bufs]
-            labs = [b.labels for b in bufs]
-            nfs = [b.num_frames for b in bufs]
-            for _ in range(steps - len(bufs)):
-                feats.append(_np.zeros_like(feats[0]))
-                labs.append(_np.zeros_like(labs[0]))
-                nfs.append(_np.zeros((filler,), nfs[0].dtype))
-            dev = shard_stacked_batch(
-                mesh, _np.stack(feats), _np.stack(labs), _np.stack(nfs)
-            )
-            ring.append((step_fn(params_student, *dev), metas))
+            dev = distributed.stack_batches(mesh, bufs, steps)
+            return step_fn(params_student, *dev), metas
 
-        buf = []
-        for batch in distributed.sync_host_streams(loader, "eval"):
-            buf.append(batch)
-            if len(buf) == steps:
-                dispatch(buf)
-                buf = []
-                if len(ring) >= depth:
-                    for rows in distributed.gather_stacked_outputs(
-                            *ring.popleft()):
-                        accumulate(rows)
-        if buf:
-            dispatch(buf)
-        while ring:
-            for rows in distributed.gather_stacked_outputs(*ring.popleft()):
+        for packs, metas in distributed.stacked_ring(
+                distributed.sync_host_streams(loader, "eval"),
+                steps, depth, launch):
+            for rows in distributed.gather_stacked_outputs(packs, metas):
                 accumulate(rows)
     else:
         for (f, l, n), (labels, pad) in device_prefetch(

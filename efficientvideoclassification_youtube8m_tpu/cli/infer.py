@@ -62,6 +62,7 @@ def inference(args):
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_eval_step,
         create_mesh,
+        distributed,
         shard_batch,
     )
 
@@ -177,10 +178,6 @@ def inference(args):
             # ties by lowest class index; the K=1 path's np.argpartition
             # can order/select tied entries differently — lines are
             # identical wherever the top-k probabilities are distinct.
-            from efficientvideoclassification_youtube8m_tpu.parallel import (
-                shard_stacked_batch,
-            )
-
             def emit(packs, metas):
                 pack = np.asarray(packs)
                 k = (pack.shape[2] - 2) // 2
@@ -199,31 +196,15 @@ def inference(args):
                         flat = [x for p in zip(idxs[r], vals[r]) for x in p]
                         yield vid + "," + (fmt % tuple(flat)) + "\n"
 
-            def dispatch(bufs):
+            def launch(bufs):
                 metas = [(b.video_ids, b.pad) for b in bufs]
-                feats = [b.features for b in bufs]
-                nfs = [b.num_frames for b in bufs]
-                for _ in range(steps - len(bufs)):
-                    # tail filler: fully-padded dummy, slices unread
-                    feats.append(np.zeros_like(feats[0]))
-                    nfs.append(np.zeros_like(nfs[0]))
-                labs = np.zeros((steps,) + dummy_labels.shape, bool)
-                dev = shard_stacked_batch(
-                    mesh, np.stack(feats), labs, np.stack(nfs))
-                ring.append((step_fn(params, *dev), metas))
+                dev = distributed.stack_batches(
+                    mesh, bufs, steps, dummy_labels=dummy_labels)
+                return step_fn(params, *dev), metas
 
-            buf = []
-            for batch in loader:
-                buf.append(batch)
-                if len(buf) == steps:
-                    dispatch(buf)
-                    buf = []
-                    if len(ring) >= depth:
-                        yield from emit(*ring.popleft())
-            if buf:
-                dispatch(buf)
-            while ring:
-                yield from emit(*ring.popleft())
+            for packs, metas in distributed.stacked_ring(
+                    loader, steps, depth, launch):
+                yield from emit(packs, metas)
         else:
             def emit(out, vids, pad):
                 valid = len(vids) - pad

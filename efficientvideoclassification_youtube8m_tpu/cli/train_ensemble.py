@@ -81,7 +81,7 @@ def train_ensemble(args):
             feature_sizes=cfg.feature_sizes_list,
             vocab_size=cfg.num_classes,
             num_readers=cfg.num_readers,
-        deterministic=cfg.deterministic_input,
+            deterministic=cfg.deterministic_input,
             num_epochs=1,
             shuffle=True,
             seed=cfg.seed + epoch,

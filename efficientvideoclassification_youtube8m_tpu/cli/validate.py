@@ -89,47 +89,23 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
     steps = max(1, getattr(args, "steps_per_dispatch", 1))
     if steps > 1:
         # steps-per-dispatch: K batches scanned in one launch, one
-        # packed fetch (see cli/eval.py — same loop, with the per-batch
-        # L_REP riding along). Epoch metrics bit-identical.
-        from efficientvideoclassification_youtube8m_tpu.parallel import (
-            shard_stacked_batch,
-        )
+        # packed fetch (shared stack_batches/stacked_ring helpers — same
+        # loop as cli/eval.py, with the per-batch L_REP riding along).
+        # Epoch metrics bit-identical.
+        def launch(bufs):
+            metas = [(b.labels, b.pad) for b in bufs]
+            dev = distributed.stack_batches(mesh, bufs, steps)
+            return (step_fn(state.params_teacher, state.params_student,
+                            *dev), metas)
 
-        def drain_stack(out, metas):
+        for out, metas in distributed.stacked_ring(
+                distributed.sync_host_streams(loader, "eval"),
+                steps, depth, launch):
             lrep = np.asarray(out["student_loss_state"])
             for i, rows in enumerate(
                     distributed.gather_stacked_outputs(out["host_pack"],
                                                        metas)):
                 accumulate(rows, float(lrep[i]))
-
-        def dispatch(bufs):
-            metas = [(b.labels, b.pad) for b in bufs]
-            feats = [b.features for b in bufs]
-            labs = [b.labels for b in bufs]
-            nfs = [b.num_frames for b in bufs]
-            for _ in range(steps - len(bufs)):
-                # epoch-tail filler: fully-padded dummy, slices unread
-                feats.append(np.zeros_like(feats[0]))
-                labs.append(np.zeros_like(labs[0]))
-                nfs.append(np.zeros_like(nfs[0]))
-            dev = shard_stacked_batch(
-                mesh, np.stack(feats), np.stack(labs), np.stack(nfs))
-            ring.append(
-                (step_fn(state.params_teacher, state.params_student, *dev),
-                 metas))
-
-        buf = []
-        for batch in distributed.sync_host_streams(loader, "eval"):
-            buf.append(batch)
-            if len(buf) == steps:
-                dispatch(buf)
-                buf = []
-                if len(ring) >= depth:
-                    drain_stack(*ring.popleft())
-        if buf:
-            dispatch(buf)
-        while ring:
-            drain_stack(*ring.popleft())
     else:
         for (f, l, n), (labels, pad) in device_prefetch(
                 distributed.sync_host_streams(loader, "eval"), mesh,

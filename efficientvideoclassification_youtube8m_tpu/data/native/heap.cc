@@ -282,8 +282,10 @@ constexpr int64_t kRadixMinN = 1 << 17;
 // Stable 4x16-bit LSD radix sort of (key, pos-flag) pairs, ascending.
 void radix_sort_pairs(std::vector<uint64_t>& key, std::vector<uint8_t>& flag,
                       std::vector<uint64_t>& key_tmp,
-                      std::vector<uint8_t>& flag_tmp, int64_t n) {
-  static std::vector<int64_t> cnt;
+                      std::vector<uint8_t>& flag_tmp,
+                      std::vector<int64_t>& cnt, int64_t n) {
+  // cnt is caller-owned scratch (like every other vector here): ctypes
+  // releases the GIL, so function-local statics would race across threads.
   cnt.assign(1 << 16, 0);
   uint64_t* k = key.data();
   uint8_t* f = flag.data();
@@ -322,6 +324,7 @@ void ap_sweep_segments(const double* preds, const double* acts,
   std::vector<double> sp, sa;
   std::vector<uint64_t> key, key_tmp;
   std::vector<uint8_t> flag, flag_tmp;
+  std::vector<int64_t> cnt;
   for (int64_t s = 0; s < nseg; ++s) {
     const int64_t n = ends[s] - starts[s];
     double numpos = num_pos[s];
@@ -352,7 +355,7 @@ void ap_sweep_segments(const double* preds, const double* acts,
         key[i] = ~u;  // ascending radix == descending double
         flag[i] = a[perm[i]] > 0.0 ? 1 : 0;
       }
-      radix_sort_pairs(key, flag, key_tmp, flag_tmp, n);
+      radix_sort_pairs(key, flag, key_tmp, flag_tmp, cnt, n);
       for (int64_t i = 0; i < r; ++i) {
         if (flag[i]) {
           poscount += 1.0;

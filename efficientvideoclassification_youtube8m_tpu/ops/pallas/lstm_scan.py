@@ -63,7 +63,7 @@ def train_tile_for(batch: int, cells: int) -> "int | None":
     if cells > TRAIN_MAX_CELLS:
         return None
     return next(
-        (t for t in (512, 256, 128, 64, 32, 16, 8)
+        (t for t in (256, 128, 64, 32, 16, 8)
          if t <= TRAIN_TILE_B and batch % t == 0),
         None,
     )
@@ -451,6 +451,11 @@ def _lstm_chunk_kernel_train_bwd(
         # its f32 dgates to bf16 at the dot), so this is convergence-
         # equivalent — and halves the dgates HBM write+read traffic.
         # Only the sequential dh chain above needs the hi/lo precision.
+        # KNOWN DEVIATION: d_bias (a reduce, not a matmul — see the
+        # wrapper) sums this bf16-rounded stream where XLA AD sums f32
+        # dgates; emitting dg_lo too would double the stream traffic for
+        # a ~2^-9 relative-error term. The f64-oracle check (CLAUDE.md
+        # r4) puts this path's total grad error BELOW XLA's bf16 scan AD.
         dgbuf[slot] = dg_hi
         dg_dma(slot, t).start()
         return (dc_prev, dh_prev)
@@ -794,6 +799,9 @@ def make_lstm_layer_train_pallas(forget_bias: float = 1.0, tile_b: int = 64,
             preferred_element_type=jnp.float32,
         )
         d_kernel = jnp.concatenate([d_wx, d_wh], axis=0)
+        # f32 accumulation over the bf16-rounded stream — a documented
+        # precision deviation from XLA AD's f32-dgates sum (see the
+        # kernel's dg_hi comment; f64-oracle-validated).
         d_bias = jnp.sum(flat_dg.astype(jnp.float32), axis=0)
         d_xs_tm = jax.lax.dot_general(
             flat_dg, w_x,

@@ -342,6 +342,58 @@ def gather_stacked_outputs(packs, metas):
         yield rows
 
 
+def stack_batches(mesh, bufs, steps: int, dummy_labels=None):
+    """Stack `bufs` host batches into the [K, ...] arrays of ONE stacked
+    launch, padding the epoch's final partial stack with fully-padded
+    dummy batches (their output slices are simply never read — see
+    gather_stacked_outputs). Shared by the cli.eval / cli.validate /
+    cli.infer --steps_per_dispatch loops.
+
+    `dummy_labels`: a fixed [B, V] array to use for EVERY position
+    (cli.infer has no labels); None stacks each batch's own labels."""
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        shard_stacked_batch,
+    )
+
+    feats = [b.features for b in bufs]
+    nfs = [b.num_frames for b in bufs]
+    for _ in range(steps - len(bufs)):
+        feats.append(np.zeros_like(feats[0]))
+        nfs.append(np.zeros_like(nfs[0]))
+    if dummy_labels is None:
+        labs = [b.labels for b in bufs]
+        labs += [np.zeros_like(labs[0])] * (steps - len(bufs))
+        labs = np.stack(labs)
+    else:
+        labs = np.zeros((steps,) + dummy_labels.shape, dummy_labels.dtype)
+    return shard_stacked_batch(mesh, np.stack(feats), labs, np.stack(nfs))
+
+
+def stacked_ring(batches, steps: int, depth: int, launch):
+    """The --steps_per_dispatch dispatch loop shared by the eval-side
+    CLIs: group the host `batches` stream into stacks of `steps`,
+    `launch(bufs)` each (returning the in-flight handle), and yield
+    completed handles from a FIFO lag-`depth` ring — so `depth` launches'
+    dispatch + D2H latency overlaps device compute while downstream
+    consumption order stays identical to the sequential per-batch loop
+    (epoch metrics / CSV rows bit-identical)."""
+    from collections import deque
+
+    ring: deque = deque()
+    buf = []
+    for batch in batches:
+        buf.append(batch)
+        if len(buf) == steps:
+            ring.append(launch(buf))
+            buf = []
+            if len(ring) >= depth:
+                yield ring.popleft()
+    if buf:
+        ring.append(launch(buf))
+    while ring:
+        yield ring.popleft()
+
+
 def gather_step_outputs(out: Dict[str, Any], labels, pad: int) -> Dict[str, np.ndarray]:
     """The eval CLIs' shared per-batch assembly: this host's rows of the
     step outputs + its labels, gathered into the global valid-row stream

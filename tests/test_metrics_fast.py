@@ -342,3 +342,46 @@ def test_ap_sweep_radix_path_bit_identical():
         preds, acts, np.zeros(1, np.int64), np.asarray([n], np.int64),
         np.asarray([npos]), -1)[0]
     assert got == oracle_ap(preds, acts, npos)
+
+
+def test_ap_sweep_radix_thread_safe():
+    """Concurrent ap_sweep calls over radix-sized segments must match the
+    sequential results bit-for-bit: ctypes releases the GIL, so the radix
+    histogram has to be caller-owned scratch, not shared static state
+    (two threads evaluating two checkpoints in parallel is a supported
+    pattern)."""
+    import threading
+
+    from efficientvideoclassification_youtube8m_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    n = (1 << 17) + 5
+    cases = []
+    for s in range(4):
+        preds = np.round(rng.uniform(-1, 1, n), 2)  # heavy ties
+        acts = (rng.random(n) < 0.03).astype(np.float64)
+        cases.append((preds, acts, float(acts.sum())))
+
+    def sweep(preds, acts, npos):
+        return native.ap_sweep(
+            preds, acts, np.zeros(1, np.int64), np.asarray([n], np.int64),
+            np.asarray([npos]), -1)[0]
+
+    sequential = [sweep(*c) for c in cases]
+    results = [None] * len(cases)
+    # several interleaved rounds per thread to maximize overlap inside
+    # the radix passes
+    def worker(i):
+        for _ in range(3):
+            results[i] = sweep(*cases[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(cases))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == sequential
