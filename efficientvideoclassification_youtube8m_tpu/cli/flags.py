@@ -122,7 +122,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="overlap periodic checkpoint writes with training "
                    "(on-device snapshot + background fetch/write; the "
                    "final save is always joined before exit). Applies to "
-                   "single-process msgpack saves; orbax and multi-host "
+                   "single-process saves (either format); multi-host "
                    "saves are collectives and stay synchronous")
     p.add_argument("--use_native_io", type=_bool, default=True)
     p.add_argument("--deterministic_input", type=_bool, default=False,

@@ -132,11 +132,13 @@ class AsyncCheckpointSaver:
     `save_checkpoint` (device_get releases the GIL during the D2H
     transfer, so it overlaps subsequently dispatched steps).
 
-    Scope: the msgpack backend in a single process. Orbax saves are
-    device-collectives and multi-host msgpack runs a cross-process
+    Scope: single process, either backend (a single-process orbax save
+    is plain device_get + TensorStore writes, no collective). Multi-host
+    saves fall back to the synchronous path: the orbax multi-host save is
+    a device-collective and multi-host msgpack runs a cross-process
     validation barrier — interleaving either with training-step
-    collectives from a second thread can reorder collectives across hosts
-    and deadlock, so those fall back to the synchronous path.
+    collectives from a second thread can reorder collectives across
+    hosts and deadlock.
 
     One save in flight at a time: a second `save()` joins the first
     (pointer-file updates stay ordered). `wait()` joins and re-raises any
@@ -152,7 +154,7 @@ class AsyncCheckpointSaver:
 
     def save(self, train_dir: str, state: Any, step: int,
              max_to_keep: int = 1, backend: str = "msgpack") -> None:
-        if not self.enabled or backend != "msgpack" or jax.process_count() > 1:
+        if not self.enabled or jax.process_count() > 1:
             self.wait()
             save_checkpoint(train_dir, state, step,
                             max_to_keep=max_to_keep, backend=backend)
@@ -169,7 +171,7 @@ class AsyncCheckpointSaver:
         def _run():
             try:
                 save_checkpoint(train_dir, snap, step,
-                                max_to_keep=max_to_keep, backend="msgpack")
+                                max_to_keep=max_to_keep, backend=backend)
             except BaseException as e:  # surfaced at the next wait()/save()
                 self._exc = e
 

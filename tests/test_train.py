@@ -386,10 +386,45 @@ def test_async_saver_propagates_write_errors(tmp_path):
     assert latest_checkpoint(str(tmp_path / "ok"))
 
 
-def test_async_saver_sync_fallback_for_orbax(tmp_path, monkeypatch):
-    """Non-msgpack backends route through the synchronous save (orbax
-    saves are device-collectives; a writer thread could reorder them
-    against training collectives across hosts)."""
+def test_async_saver_orbax_single_process(tmp_path):
+    """Single-process orbax saves run through the async snapshot+writer
+    path too (no collective to reorder): the async checkpoint restores
+    identically to a synchronous orbax save, including after the saved
+    state's buffers are donated away."""
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        AsyncCheckpointSaver,
+    )
+
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    feats, labels, nf = _tiny_batch(cfg, seed=7)
+    step = jax.jit(build_distill_train_step(cfg, opt), donate_argnums=(0,))
+    state, _ = step(state, feats, labels, nf)
+
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    step_val = int(jax.device_get(state.global_step))
+    save_checkpoint(sync_dir, state, step_val, backend="orbax")
+
+    saver = AsyncCheckpointSaver()
+    saver.save(async_dir, state, step_val, backend="orbax")
+    for _ in range(3):  # donate the saved buffers while the write drains
+        state, _ = step(state, feats, labels, nf)
+    saver.wait()
+
+    template = init_distill_state(cfg, opt)
+    a = restore_checkpoint(latest_checkpoint(sync_dir), template)
+    b = restore_checkpoint(latest_checkpoint(async_dir), template)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)), a, b)
+
+
+def test_async_saver_sync_fallback_multihost(tmp_path, monkeypatch):
+    """Multi-host saves route through the synchronous path (the orbax
+    save is a device-collective and multi-host msgpack runs a validation
+    barrier; a writer thread could reorder either against training
+    collectives across hosts)."""
     from efficientvideoclassification_youtube8m_tpu.train import (
         AsyncCheckpointSaver,
     )
@@ -403,6 +438,7 @@ def test_async_saver_sync_fallback_for_orbax(tmp_path, monkeypatch):
     monkeypatch.setattr(
         checkpoint_mod, "save_checkpoint",
         lambda *a, **kw: calls.append((threading.get_ident(), a, kw)))
+    monkeypatch.setattr(checkpoint_mod.jax, "process_count", lambda: 2)
 
     saver = AsyncCheckpointSaver()
     saver.save(str(tmp_path), {"x": jax.numpy.ones((2,))}, 1,
