@@ -297,7 +297,40 @@ def run_eval(batch_size: int, compute_dtype: str):
     return device_rate, device_windows, e2e_rate, e2e_stacked
 
 
+def _require_live_backend(timeout_s: float = 600.0):
+    """Fail fast if the TPU relay is unreachable. A hung relay makes the
+    first `jax.devices()` call block indefinitely — probe it on a helper
+    thread and exit(1) with a clear message instead of hanging the whole
+    bench run (a dead relay can never produce numbers anyway)."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.devices()
+            result["v"] = float(jnp.ones(()) + 1)  # value fetch, not b_u_r
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            result["err"] = e
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(f"bench: backend unreachable (device probe hung "
+              f">{timeout_s:.0f}s — TPU relay down?)", file=sys.stderr)
+        os._exit(1)
+    if "err" in result:
+        print(f"bench: backend init failed: {result['err']}",
+              file=sys.stderr)
+        sys.exit(1)
+
+
 def main():
+    _require_live_backend()
     videos_per_sec = train_windows = None
     for batch, dtype in [(512, "bfloat16"), (256, "bfloat16"),
                          (128, "bfloat16"), (64, "float32")]:
