@@ -8,6 +8,7 @@ from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
     calculate_precision_at_equal_recall_rate,
     flatten,
     perr_precision_on_device,
+    topk_and_perr_on_device,
     top_k_by_class,
     top_k_triplets,
     topk_on_device,
@@ -26,6 +27,7 @@ __all__ = [
     "calculate_precision_at_equal_recall_rate",
     "flatten",
     "perr_precision_on_device",
+    "topk_and_perr_on_device",
     "top_k_by_class",
     "top_k_triplets",
     "topk_on_device",

@@ -159,6 +159,60 @@ def topk_on_device(predictions, k: int = 20):
     return jax.lax.top_k(predictions, k)
 
 
+def topk_and_perr_on_device(predictions, labels, k: int):
+    """`lax.top_k` + `perr_precision_on_device` from ONE stable
+    descending sort of the [B, V] score row.
+
+    The eval/train-metric steps need both the top-k (values AND
+    indices) and the PERR threshold tau (the n-th largest score), and
+    each costs a full-row sort on TPU — this fuses them into a single
+    `sort_key_val`. Outputs are BIT-IDENTICAL to the separate ops
+    (tests/test_metrics_fast.py pins it):
+      * top_k ties break lowest-index-first (XLA TopK contract), which
+        a STABLE ascending sort of the negated scores reproduces
+        exactly;
+      * tau is the same float whichever tie the sort surfaces, so the
+        threshold masks in the PERR math are unchanged;
+      * double negation restores original value bits (incl. -0.0).
+    Returns (topk_val [B,k], topk_idx [B,k], perr [B])."""
+    import jax
+    import jax.numpy as jnp
+
+    B, V = predictions.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    sneg, perm = jax.lax.sort_key_val(-predictions, iota, dimension=1,
+                                      is_stable=True)
+    topk_val = -sneg[:, :k]
+    topk_idx = perm[:, :k]
+
+    labels_f = labels.astype(jnp.float32)
+    n = jnp.sum(labels_f, axis=1).astype(jnp.int32)  # [B]
+    # n-th largest = descending index n-1; n=0 rows are masked below
+    tau = -jnp.take_along_axis(
+        sneg, jnp.maximum(n - 1, 0)[:, None], axis=1)[:, 0]
+    perr = _perr_from_tau(predictions, labels_f, n, tau)
+    return topk_val, topk_idx, perr
+
+
+def _perr_from_tau(predictions, labels_f, n, tau):
+    """The threshold-counting PERR math shared by the fused and
+    standalone paths (see perr_precision_on_device for the semantics)."""
+    import jax.numpy as jnp
+
+    positive = predictions > 0  # the reference's numpy.nonzero filter
+    above = predictions > tau[:, None]
+    tied = predictions == tau[:, None]
+    hits_above = jnp.sum(labels_f * above * positive, axis=1)
+    count_above = jnp.sum(above, axis=1).astype(jnp.float32)
+    tied_label_hits = jnp.sum(labels_f * tied * positive, axis=1)
+    tied_count = jnp.sum(tied, axis=1).astype(jnp.float32)
+    capacity = jnp.maximum(n.astype(jnp.float32) - count_above, 0.0)
+    hits = hits_above + capacity * tied_label_hits / jnp.maximum(
+        tied_count, 1.0
+    )
+    return jnp.where(n > 0, hits / jnp.maximum(n, 1).astype(jnp.float32), 0.0)
+
+
 def perr_precision_on_device(predictions, labels):
     """EXACT per-video PERR precision on device: precision within the
     top-|labels| predictions over the FULL score row
@@ -187,18 +241,7 @@ def perr_precision_on_device(predictions, labels):
     tau = jnp.take_along_axis(
         sorted_vals, jnp.maximum(V - n, 0)[:, None], axis=1
     )[:, 0]  # n-th largest score per row
-    positive = predictions > 0  # the reference's numpy.nonzero filter
-    above = predictions > tau[:, None]
-    tied = predictions == tau[:, None]
-    hits_above = jnp.sum(labels_f * above * positive, axis=1)
-    count_above = jnp.sum(above, axis=1).astype(jnp.float32)
-    tied_label_hits = jnp.sum(labels_f * tied * positive, axis=1)
-    tied_count = jnp.sum(tied, axis=1).astype(jnp.float32)
-    capacity = jnp.maximum(n.astype(jnp.float32) - count_above, 0.0)
-    hits = hits_above + capacity * tied_label_hits / jnp.maximum(
-        tied_count, 1.0
-    )
-    return jnp.where(n > 0, hits / jnp.maximum(n, 1).astype(jnp.float32), 0.0)
+    return _perr_from_tau(predictions, labels_f, n, tau)
 
 
 def _topk_perr_sum(topk_values, top_labels, label_counts):

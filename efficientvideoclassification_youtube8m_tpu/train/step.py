@@ -468,7 +468,10 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
             topk_idx=topk_idx_t,
             # exact per-video PERR over the FULL teacher score row (the
             # reference's eval_util.py:34-59 definition) — the top-k form
-            # quietly deviates for >top_k-label videos; ~3 ms on device
+            # quietly deviates for >top_k-label videos; ~3 ms on device.
+            # A fused one-sort topk+PERR exists (topk_and_perr_on_device,
+            # bit-identical) but measured SLOWER on CPU — adopt only if
+            # scripts/probe_fused_eval_sort.py shows a TPU win.
             perr_precision=perr_precision_on_device(preds_t, labels),
         )
         return new_state, metrics
@@ -651,6 +654,9 @@ def _eval_outputs(predictions, labels, top_k: int) -> Dict[str, Any]:
         perr_precision_on_device,
     )
 
+    # a fused one-sort topk+PERR exists (topk_and_perr_on_device,
+    # bit-identical; test_metrics_fast) but measured SLOWER on CPU —
+    # adopt only if scripts/probe_fused_eval_sort.py shows a TPU win
     perr = perr_precision_on_device(predictions, labels)
     return {
         "predictions": predictions,

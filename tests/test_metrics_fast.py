@@ -344,6 +344,43 @@ def test_ap_sweep_radix_path_bit_identical():
     assert got == oracle_ap(preds, acts, npos)
 
 
+def test_fused_topk_perr_bit_identical():
+    """topk_and_perr_on_device (one stable descending sort) must match
+    lax.top_k + perr_precision_on_device bit-for-bit, including heavy
+    score ties (where top_k's lowest-index-first contract is the
+    nontrivial part) and zero-label rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
+        perr_precision_on_device,
+        topk_and_perr_on_device,
+    )
+
+    rng = np.random.default_rng(5)
+    B, V, k = 16, 331, 20
+    preds = np.round(rng.random((B, V)), 1).astype(np.float32)  # ties
+    preds[3] = 0.5  # whole row tied
+    preds[4] = 0.0  # all-zero scores (positive filter edge)
+    labels = rng.random((B, V)) < 0.03
+    labels[7] = False  # zero-label row
+
+    p, l = jnp.asarray(preds), jnp.asarray(labels)
+    want_val, want_idx = jax.lax.top_k(p, k)
+    want_perr = perr_precision_on_device(p, l)
+    got_val, got_idx, got_perr = topk_and_perr_on_device(p, l, k)
+    np.testing.assert_array_equal(np.asarray(want_val), np.asarray(got_val))
+    np.testing.assert_array_equal(np.asarray(want_idx), np.asarray(got_idx))
+    np.testing.assert_array_equal(np.asarray(want_perr), np.asarray(got_perr))
+
+    # under jit too (the eval steps run it compiled)
+    got_val, got_idx, got_perr = jax.jit(
+        topk_and_perr_on_device, static_argnums=2)(p, l, k)
+    np.testing.assert_array_equal(np.asarray(want_val), np.asarray(got_val))
+    np.testing.assert_array_equal(np.asarray(want_idx), np.asarray(got_idx))
+    np.testing.assert_array_equal(np.asarray(want_perr), np.asarray(got_perr))
+
+
 def test_ap_sweep_radix_thread_safe():
     """Concurrent ap_sweep calls over radix-sized segments must match the
     sequential results bit-for-bit: ctypes releases the GIL, so the radix
