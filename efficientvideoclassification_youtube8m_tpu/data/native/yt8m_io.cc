@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
 #include <string>
 #include <vector>
 
@@ -165,7 +166,20 @@ struct Yt8mReader {
       memcpy(&c, header + 8, 4);
       if (masked_crc32c(header, 8) != c) return fail("length crc mismatch"), -1;
     }
-    record.resize(len);
+    // The length is UNTRUSTED input: a corrupt header can claim up to
+    // 2^64 bytes, and letting resize() throw would unwind a C++
+    // exception through the extern "C" ctypes frame — std::terminate,
+    // killing the host process. Bound it (a YT8M SequenceExample is a
+    // few hundred KB; 1 GB is generous for any TFRecord) and absorb
+    // allocation failure into the normal error path.
+    constexpr uint64_t kMaxRecordBytes = 1ull << 30;
+    if (len > kMaxRecordBytes)
+      return fail("record length implausible (corrupt header?)"), -1;
+    try {
+      record.resize(len);
+    } catch (const std::exception&) {
+      return fail("record allocation failed"), -1;
+    }
     if (fread(record.data(), 1, len, f) != len)
       return fail("truncated record"), -1;
     uint8_t footer[4];
@@ -210,7 +224,12 @@ StringView feature_first_bytes(Cursor c) {
   return out;
 }
 
-// Feature { int64_list=3 { value=1 packed|scalar } } -> append ints
+// Feature { int64_list=3 { value=1 packed|scalar } } -> append ints.
+// The count is untrusted (a corrupt record could pack ~1 GB of varints
+// -> an 8 GB vector); drop entries past a generous bound — the real
+// vocab is 4716 classes and consumers truncate to labels_cap anyway.
+constexpr size_t kMaxInt64s = size_t(1) << 16;
+
 void feature_int64s(Cursor c, std::vector<int64_t>* out) {
   while (c.ok && !c.done()) {
     uint64_t tag = c.varint();
@@ -225,9 +244,13 @@ void feature_int64s(Cursor c, std::vector<int64_t>* out) {
         if ((itag >> 3) == 1 && wt == 2) {  // packed
           uint64_t pn = il.varint();
           Cursor pk = il.slice(pn);
-          while (pk.ok && !pk.done()) out->push_back(int64_t(pk.varint()));
+          while (pk.ok && !pk.done()) {
+            int64_t v = int64_t(pk.varint());
+            if (out->size() < kMaxInt64s) out->push_back(v);
+          }
         } else if ((itag >> 3) == 1 && wt == 0) {
-          out->push_back(int64_t(il.varint()));
+          int64_t v = int64_t(il.varint());
+          if (out->size() < kMaxInt64s) out->push_back(v);
         } else {
           il.skip(wt);
         }

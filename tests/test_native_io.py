@@ -162,3 +162,96 @@ def test_loader_frame_stride_matches_host_subsample(shard):
             np.testing.assert_array_equal(sb.num_frames, fb.num_frames)
             np.testing.assert_array_equal(sb.labels, fb.labels)
             assert sb.pad == fb.pad
+
+
+def _drain_native(path, **kw):
+    return list(native.read_frame_file(path, ("rgb", "audio"), (16, 4), 30,
+                                       **kw))
+
+
+def test_native_rejects_implausible_record_length(shard, tmp_path):
+    """A corrupt 8-byte length header is UNTRUSTED input: it must surface
+    as IOError, not a multi-exabyte resize whose C++ exception would
+    cross the ctypes frame and terminate the process."""
+    path, _ = shard
+    data = bytearray(open(path, "rb").read())
+    for huge in ((1 << 63) | 12345, (1 << 40), (1 << 30) + 1):
+        bad = bytearray(data)
+        bad[0:8] = int(huge).to_bytes(8, "little")
+        p = str(tmp_path / f"huge_{huge % 97}.tfrecord")
+        open(p, "wb").write(bytes(bad))
+        with pytest.raises(IOError, match="implausible|allocation"):
+            _drain_native(p)
+
+
+def test_native_fuzz_corrupted_shards_never_crash(shard, tmp_path):
+    """Random truncations, byte flips, and zeroed spans over a valid
+    shard: the native parser must either finish (possibly with garbled
+    videos — CRC checks are off by default, like TF's reader) or raise
+    IOError. Anything else (segfault, terminate, hang) fails the suite
+    by killing it."""
+    path, _ = shard
+    data = open(path, "rb").read()
+    rng = np.random.default_rng(13)
+    cases = []
+    for _ in range(10):  # truncation
+        cases.append(data[: int(rng.integers(0, len(data)))])
+    for _ in range(15):  # byte flips (1-8 per case)
+        bad = bytearray(data)
+        for _ in range(int(rng.integers(1, 9))):
+            i = int(rng.integers(0, len(bad)))
+            bad[i] ^= int(rng.integers(1, 256))
+        cases.append(bytes(bad))
+    for _ in range(10):  # zeroed span
+        bad = bytearray(data)
+        i = int(rng.integers(0, len(bad)))
+        j = min(len(bad), i + int(rng.integers(1, 4096)))
+        bad[i:j] = bytes(j - i)
+        cases.append(bytes(bad))
+    for n, case in enumerate(cases):
+        p = str(tmp_path / f"fuzz_{n}.tfrecord")
+        open(p, "wb").write(case)
+        try:
+            _drain_native(p)
+            _drain_native(p, verify_crc=True)
+        except IOError:
+            pass
+
+
+def test_native_crc_verification_catches_payload_flip(shard, tmp_path):
+    path, _ = shard
+    data = bytearray(open(path, "rb").read())
+    data[20] ^= 0xFF  # inside the first record's payload
+    p = str(tmp_path / "flip.tfrecord")
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(IOError, match="crc"):
+        _drain_native(p, verify_crc=True)
+
+
+def test_native_label_count_bounded(tmp_path):
+    """A record packing an absurd number of int64 labels must not
+    balloon memory: entries past the parser's bound are dropped (real
+    labels fit in 4716 classes; consumers truncate to labels_cap)."""
+    from efficientvideoclassification_youtube8m_tpu.data.tfrecord import (
+        TFRecordWriter,
+    )
+    from efficientvideoclassification_youtube8m_tpu.data.yt8m import (
+        encode_frame_record,
+    )
+
+    feats = np.zeros((2, 20), np.uint8)
+    rec = encode_frame_record("v0", [0, 1, 2], feats,
+                              feature_names=("rgb", "audio"),
+                              feature_sizes=(16, 4))
+    # a record carrying 200k int64 labels (well past the parser's bound)
+    rec_many = encode_frame_record("vbig", [1] * 200_000, feats,
+                                   feature_names=("rgb", "audio"),
+                                   feature_sizes=(16, 4))
+    p = str(tmp_path / "labels.tfrecord")
+    with TFRecordWriter(p) as w:
+        w.write(rec_many)
+        w.write(rec)
+    videos = _drain_native(p)
+    assert len(videos) == 2
+    assert len(videos[0].labels) <= 1 << 16
+    assert videos[1].labels == [0, 1, 2]
