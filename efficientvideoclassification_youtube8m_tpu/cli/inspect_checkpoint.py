@@ -3,13 +3,14 @@
 Rebuild of `/root/reference/code_student_uniform/inspect_checkpoint_myfile.py`
 (`print_tensors_in_checkpoint_file`): prints every tensor path, shape,
 dtype and optionally values — from this framework's msgpack checkpoints
-AND from the reference's TF-V2 bundles (read with the pure-Python
-`data/tf_checkpoint.py`, no TensorFlow needed).
+and orbax directories AND from the reference's TF-V2 bundles (read with
+the pure-Python `data/tf_checkpoint.py`, no TensorFlow needed).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -44,8 +45,15 @@ def print_tensors_in_checkpoint_file(
     if is_tf_checkpoint(file_name):
         print_tensors_in_tf_checkpoint(file_name, tensor_name, all_tensors)
         return
-    with open(file_name, "rb") as f:
-        raw = flax.serialization.msgpack_restore(f.read())
+    if os.path.isdir(file_name):
+        # --checkpoint_format orbax writes a directory; restore without a
+        # template (orbax returns the raw host pytree as saved)
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(file_name))
+    else:
+        with open(file_name, "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
 
     def walk(node, path=""):
         if isinstance(node, dict):

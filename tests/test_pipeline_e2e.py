@@ -401,3 +401,23 @@ def test_08_inspect_checkpoint(pipeline_dirs, capsys):
     out = capsys.readouterr().out
     assert "params_student/classifier" in out
     assert "global_step" in out
+
+
+def test_08b_inspect_checkpoint_orbax(tmp_path, capsys):
+    """Orbax checkpoint DIRECTORIES inspect the same way as msgpack
+    files (restored template-free to the raw host pytree)."""
+    from efficientvideoclassification_youtube8m_tpu.cli import (
+        inspect_checkpoint as ic_cli,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        latest_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "global_step": np.int64(7)}
+    save_checkpoint(str(tmp_path), state, 7, backend="orbax")
+    ic_cli.main(["--file_name", latest_checkpoint(str(tmp_path))])
+    out = capsys.readouterr().out
+    assert "params/w" in out and "[2, 3]" in out
+    assert "global_step" in out
