@@ -180,14 +180,17 @@ def inference(args):
             # identical wherever the top-k probabilities are distinct.
             def emit(packs, metas):
                 pack = np.asarray(packs)
-                k = (pack.shape[2] - 2) // 2
-                fmt = " ".join(["%i %f"] * k)
+                fmt = None
                 for i, (vids, pad) in enumerate(metas):
                     valid = len(vids) - pad
+                    fields = distributed._unpack_host_pack(
+                        pack[i, :valid], None)
+                    if fmt is None:
+                        fmt = " ".join(["%i %f"] * fields["topk_val"].shape[1])
                     # .tolist() ONCE per batch: per-element np-scalar
                     # access dominates the row loop otherwise (~4x)
-                    vals = pack[i, :valid, :k].astype(np.float64).tolist()
-                    idxs = pack[i, :valid, k:2 * k].astype(np.int64).tolist()
+                    vals = fields["topk_val"].astype(np.float64).tolist()
+                    idxs = fields["topk_idx"].astype(np.int64).tolist()
                     progress(valid)
                     for r in range(valid):
                         vid = vids[r]

@@ -298,15 +298,46 @@ def gather_eval_rows(arrays: Dict[str, Any], pad: int) -> Tuple[Dict[str, np.nda
     return {k: v[keep] for k, v in gathered.items()}, int(pads.sum())
 
 
+def _paired_k(m: int):
+    """The k with k + ceil(k/2) == m (the paired-index pack's index+value
+    lane count), or None. At most one k matches: the map is strictly
+    increasing."""
+    k = (2 * m) // 3
+    for cand in (k, k + 1):
+        if cand > 0 and cand + (cand + 1) // 2 == m:
+            return cand
+    return None
+
+
 def _unpack_host_pack(pack: np.ndarray, labels) -> Dict[str, Any]:
-    """Split one packed [B, 2k+2] eval buffer (train/step.py:
-    _pack_host_outputs) back into its fields."""
-    k = (pack.shape[1] - 2) // 2
+    """Split one packed eval buffer (train/step.py:_pack_host_outputs)
+    back into its fields. Self-describing across the two layouts:
+      * paired — [B, k + ceil(k/2) + 2], two indices per f32 lane, SIGN
+        BIT SET (the _PAIR_MARKER; a wide pack's index lanes are
+        non-negative floats, so a negative word proves paired even when
+        the lane counts alias, e.g. wide k=3 vs paired k=4);
+      * wide   — [B, 2k + 2], one float-encoded index per lane."""
+    m = pack.shape[1] - 2
+    k = _paired_k(m)
+    if k is not None:
+        h = (k + 1) // 2
+        words = np.ascontiguousarray(pack[:, k:k + h]).view(np.int32)
+        if words.size and words[0, 0] >= 0:
+            k = None  # wide pack whose lane count aliases a paired one
+        else:
+            words = words & np.int32(0x3FFFFFFF)  # drop the marker bits
+            idx = np.empty((pack.shape[0], 2 * h), np.int32)
+            idx[:, 0::2] = words & 0xFFFF
+            idx[:, 1::2] = words >> 16
+            idx = idx[:, :k]
+    if k is None:
+        k = m // 2
+        idx = pack[:, k:2 * k].astype(np.int32)
     return {
         "topk_val": pack[:, :k],
-        "topk_idx": pack[:, k:2 * k].astype(np.int32),
-        "per_example_loss": pack[:, 2 * k],
-        "perr_precision": pack[:, 2 * k + 1],
+        "topk_idx": idx,
+        "per_example_loss": pack[:, m],
+        "perr_precision": pack[:, m + 1],
         "labels": labels,
     }
 

@@ -455,24 +455,29 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         )
         # the reference's per-step log covers TEACHER metrics only
         # (train.py:522-526); the student's come from validate.py
-        topk_val_t, topk_idx_t = jax.lax.top_k(preds_t, top_k)
         from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
             perr_precision_on_device,
+            topk_and_perr_on_device,
         )
 
+        # exact per-video PERR over the FULL teacher score row (the
+        # reference's eval_util.py:34-59 definition) — the top-k form
+        # quietly deviates for >top_k-label videos. On TPU the one-sort
+        # topk+PERR fusion (bit-identical; 1.21x measured,
+        # scripts/probe_fused_eval_sort.py) replaces the two sorts.
+        if jax.default_backend() == "tpu":
+            topk_val_t, topk_idx_t, perr_t = topk_and_perr_on_device(
+                preds_t, labels, top_k)
+        else:
+            topk_val_t, topk_idx_t = jax.lax.top_k(preds_t, top_k)
+            perr_t = perr_precision_on_device(preds_t, labels)
         metrics = dict(
             ls,
             learning_rate=lr,
             global_step=new_state.global_step,
             topk_val=topk_val_t,
             topk_idx=topk_idx_t,
-            # exact per-video PERR over the FULL teacher score row (the
-            # reference's eval_util.py:34-59 definition) — the top-k form
-            # quietly deviates for >top_k-label videos; ~3 ms on device.
-            # A fused one-sort topk+PERR exists (topk_and_perr_on_device,
-            # bit-identical) but measured SLOWER on CPU — adopt only if
-            # scripts/probe_fused_eval_sort.py shows a TPU win.
-            perr_precision=perr_precision_on_device(preds_t, labels),
+            perr_precision=perr_t,
         )
         return new_state, metrics
 
@@ -583,19 +588,43 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
     return step
 
 
-def _pack_host_outputs(topk_val, topk_idx, per_example_loss, perr):
-    """[B, 2k+2] f32: topk values | topk indices | per-example CE | PERR.
-    The eval CLIs fetch this ONE buffer per batch (parallel/distributed.
-    gather_step_outputs unpacks it)."""
-    return jnp.concatenate(
-        [
-            topk_val.astype(jnp.float32),
-            topk_idx.astype(jnp.float32),
-            per_example_loss.astype(jnp.float32)[:, None],
-            perr.astype(jnp.float32)[:, None],
-        ],
-        axis=1,
-    )
+# Paired-index host pack: two top-k indices per f32 lane. Bits 0-15 hold
+# the even index, 16-29 the odd one, and bits 31+30 are ALWAYS set: the
+# sign bit is the layout discriminator (a wide pack's index lanes are
+# non-negative floats, so bit 31 is 0 there), and with bit 30 set the
+# exponent field is 0x80..0xFE — a NEGATIVE NORMAL f32, never
+# subnormal/NaN (nothing between the pack and the host fetch may flush
+# or canonicalize it). Keeping the exponent below 0xFF is what caps the
+# packable class id at 0x3F7F = 16255 (YT8M: 4715).
+PACKED_IDX_MAX = 0x3F7F
+_PAIR_MARKER = (1 << 31) | (1 << 30)
+
+
+def _pack_host_outputs(topk_val, topk_idx, per_example_loss, perr,
+                       num_classes=None):
+    """One f32 host bundle per batch: topk values | topk indices |
+    per-example CE | PERR. The eval CLIs fetch this ONE buffer
+    (parallel/distributed.gather_step_outputs unpacks it).
+
+    When every class id fits (num_classes - 1 <= PACKED_IDX_MAX) the
+    indices travel as int16 PAIRS bitcast into f32 lanes — [B, k + ceil(k/2) + 2], 24% fewer
+    D2H bytes at k=20, bit-exact (indices are integers; value lanes are
+    untouched). Otherwise the wide [B, 2k+2] one-index-per-lane layout
+    (exact for class ids < 2^24)."""
+    parts = [topk_val.astype(jnp.float32)]
+    if num_classes is not None and num_classes - 1 <= PACKED_IDX_MAX:
+        idx = topk_idx.astype(jnp.int32)
+        if idx.shape[1] % 2:
+            idx = jnp.pad(idx, ((0, 0), (0, 1)))
+        # _PAIR_MARKER as an int32 literal is -(1 << 30) (two's complement
+        # for bits 31+30); `| marker` sets exactly those bits
+        words = idx[:, 0::2] | (idx[:, 1::2] << 16) | jnp.int32(-(1 << 30))
+        parts.append(jax.lax.bitcast_convert_type(words, jnp.float32))
+    else:
+        parts.append(topk_idx.astype(jnp.float32))
+    parts.append(per_example_loss.astype(jnp.float32)[:, None])
+    parts.append(perr.astype(jnp.float32)[:, None])
+    return jnp.concatenate(parts, axis=1)
 
 
 def _faithful_eval_rngs(cfg: TrainConfig, num_frames):
@@ -649,15 +678,22 @@ def _eval_outputs(predictions, labels, top_k: int) -> Dict[str, Any]:
         + (1 - fl) * jnp.log(1 - predictions + eps),
         axis=1,
     )
-    topk_val, topk_idx = jax.lax.top_k(predictions, top_k)
     from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
         perr_precision_on_device,
+        topk_and_perr_on_device,
     )
 
-    # a fused one-sort topk+PERR exists (topk_and_perr_on_device,
-    # bit-identical; test_metrics_fast) but measured SLOWER on CPU —
-    # adopt only if scripts/probe_fused_eval_sort.py shows a TPU win
-    perr = perr_precision_on_device(predictions, labels)
+    # one-sort topk+PERR fusion: bit-identical to the separate ops
+    # (test_metrics_fast pins it) and 1.21x on the chip (3.69 vs 4.45 ms
+    # at b=1024, scripts/probe_fused_eval_sort.py) — lax.top_k does NOT
+    # lower to a cheaper partial sort there. CPU keeps the separate form
+    # (the fusion's full key-val sort measured slower host-side).
+    if jax.default_backend() == "tpu":
+        topk_val, topk_idx, perr = topk_and_perr_on_device(
+            predictions, labels, top_k)
+    else:
+        topk_val, topk_idx = jax.lax.top_k(predictions, top_k)
+        perr = perr_precision_on_device(predictions, labels)
     return {
         "predictions": predictions,
         "per_example_loss": per_example_loss,
@@ -665,7 +701,8 @@ def _eval_outputs(predictions, labels, top_k: int) -> Dict[str, Any]:
         "topk_idx": topk_idx,
         "perr_precision": perr,
         "host_pack": _pack_host_outputs(topk_val, topk_idx,
-                                        per_example_loss, perr),
+                                        per_example_loss, perr,
+                                        num_classes=predictions.shape[-1]),
     }
 
 

@@ -229,6 +229,60 @@ def test_eval_step_host_pack_round_trip():
     np.testing.assert_array_equal(rows["labels"], labels)
 
 
+def test_eval_step_host_pack_paired_layout():
+    """The paired-index pack (two int16 indices per f32 lane, sign-bit
+    marker) round-trips bit-exactly: boundary ids (0 and PACKED_IDX_MAX),
+    odd k (padded pair), wide fallback above the id cap, and the
+    lane-count alias case (wide k=3 vs paired k=4) all resolve."""
+    from efficientvideoclassification_youtube8m_tpu.parallel import distributed
+    from efficientvideoclassification_youtube8m_tpu.train.step import (
+        PACKED_IDX_MAX,
+        _pack_host_outputs,
+    )
+
+    rng = np.random.default_rng(5)
+    for B, k in ((6, 5), (4, 20), (3, 1)):
+        vals = jnp.asarray(rng.uniform(size=(B, k)), jnp.float32)
+        idx_np = rng.integers(0, PACKED_IDX_MAX + 1, size=(B, k))
+        idx_np[0, 0] = 0                 # lo=0 word: marker keeps it normal
+        idx_np[-1, -1] = PACKED_IDX_MAX  # hi at the exponent-field cap
+        idx = jnp.asarray(idx_np, jnp.int32)
+        loss = jnp.asarray(rng.uniform(size=(B,)), jnp.float32)
+        perr = jnp.asarray(rng.uniform(size=(B,)), jnp.float32)
+        pack = np.asarray(_pack_host_outputs(
+            vals, idx, loss, perr, num_classes=PACKED_IDX_MAX + 1))
+        assert pack.shape == (B, k + (k + 1) // 2 + 2)
+        # every index lane is a NEGATIVE NORMAL f32 (marker bits): no
+        # subnormal/NaN patterns cross the device->host edge
+        words = pack[:, k:k + (k + 1) // 2]
+        assert np.all(words < 0) and np.all(np.isfinite(words))
+        assert np.all(np.abs(words) >= np.finfo(np.float32).tiny)
+        rows = distributed._unpack_host_pack(pack, None)
+        np.testing.assert_array_equal(rows["topk_val"], np.asarray(vals))
+        np.testing.assert_array_equal(rows["topk_idx"], np.asarray(idx))
+        assert rows["topk_idx"].dtype == np.int32
+        np.testing.assert_array_equal(rows["per_example_loss"],
+                                      np.asarray(loss))
+        np.testing.assert_array_equal(rows["perr_precision"],
+                                      np.asarray(perr))
+
+    # ids above the cap fall back to the wide one-per-lane layout
+    big = PACKED_IDX_MAX + 1
+    vals = jnp.asarray(rng.uniform(size=(4, 3)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, big + 1, size=(4, 3)), jnp.int32)
+    loss = jnp.asarray(rng.uniform(size=(4,)), jnp.float32)
+    perr = jnp.asarray(rng.uniform(size=(4,)), jnp.float32)
+    pack = np.asarray(_pack_host_outputs(vals, idx, loss, perr,
+                                         num_classes=big + 1))
+    # wide k=3 gives 8 lanes = paired k=4's count: the non-negative
+    # index lanes disambiguate (sign-bit marker absent)
+    assert pack.shape == (4, 2 * 3 + 2)
+    rows = distributed._unpack_host_pack(pack, None)
+    np.testing.assert_array_equal(rows["topk_idx"], np.asarray(idx))
+    np.testing.assert_array_equal(rows["topk_val"], np.asarray(vals))
+    np.testing.assert_array_equal(rows["per_example_loss"], np.asarray(loss))
+
+
 def test_map_calculator_validation():
     with pytest.raises(ValueError):
         metrics.MeanAveragePrecisionCalculator(1)

@@ -69,7 +69,8 @@ def test_stacked_eval_matches_per_batch():
 
     packs = np.asarray(stacked(
         params, *shard_stacked_batch(mesh, feats, labels, nf)))
-    assert packs.shape == (K, cfg.batch_size, 2 * 5 + 2)
+    # paired-index layout: k + ceil(k/2) + 2 lanes (num_classes fits)
+    assert packs.shape == (K, cfg.batch_size, 5 + 3 + 2)
     for j in range(K):
         ref = np.asarray(step(
             params, *shard_batch(mesh, feats[j], labels[j], nf[j])
