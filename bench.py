@@ -250,10 +250,11 @@ def run_eval(batch_size: int, compute_dtype: str):
         shard_stacked_batch,
     )
 
-    # K=16 measured best through the sandbox relay (43.9k v/s vs ~34k at
-    # K=8 vs 19.6k lag-1, device rate 56k; window spread ±20% is relay
-    # noise). Deeper rings (depth 3) are within noise of lag-1.
-    K = 16
+    # K=24 measured best through the sandbox relay (same-session sweep:
+    # 48.2k v/s vs 32.7k at K=16 and 47.9k at K=32 — probe_stacked_eval_k;
+    # device rate 56k; the residual gap is packed D2H bytes at relay
+    # bandwidth). Deeper rings (depth 3) are within noise of lag-1.
+    K = 24
     stacked = build_sharded_eval_step_stacked(
         cfg, mesh, state.params_student, top_k=cfg.top_k,
         host_subsampled=True)
@@ -387,7 +388,7 @@ def main():
             round(serving_int8, 2) if serving_int8 else None,
         "eval_videos_per_sec": round(eval_tput, 2) if eval_tput else None,
         "eval_e2e_videos_per_sec": round(eval_e2e, 2) if eval_e2e else None,
-        # the cli.eval --steps_per_dispatch 16 loop (K batches per launch)
+        # the cli.eval --steps_per_dispatch 24 loop (K batches per launch)
         "eval_e2e_stacked_videos_per_sec":
             round(eval_e2e_stacked, 2) if eval_e2e_stacked else None,
         # per-window spread (sorted best->worst): deltas inside the spread

@@ -248,7 +248,8 @@ def main(argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="K>1: scan K batches per device launch (one "
                         "packed fetch) — amortizes per-launch dispatch "
-                        "latency on high-latency links; epoch metrics are "
+                        "latency on high-latency links (K=24 measured best "
+                        "through the sandbox relay); epoch metrics are "
                         "bit-identical")
     args = parser.parse_args(argv)
     flags_lib.dump_flags(args, logger)

@@ -17,6 +17,7 @@ Two interchangeable backends:
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import shutil
@@ -124,13 +125,24 @@ class AsyncCheckpointSaver:
     The training loop's periodic `save_checkpoint` stalls it for the full
     device->host fetch plus the file write (the reference's `tf.train.Saver`
     blocks the Supervisor loop the same way, train.py:496-504). `save()`
-    instead snapshots the state on-device with one jitted identity copy —
-    REQUIRED because the train step donates its state buffers
+    instead snapshots the state with one jitted identity copy — REQUIRED
+    because the train step donates its state buffers
     (parallel/sharded_step.py donate_argnums=(0,)), so the next dispatched
     step invalidates the original arrays while a save is in flight — and
-    hands the snapshot to a background thread that runs the ordinary
-    `save_checkpoint` (device_get releases the GIL during the D2H
+    hands the snapshot to a background thread that fetches it and runs the
+    ordinary `save_checkpoint` (device_get releases the GIL during the
     transfer, so it overlaps subsequently dispatched steps).
+
+    The snapshot lands in the device's **pinned_host memory** where the
+    backend supports it: the copy streams device->host inside the jitted
+    program, so HBM high-water stays flat. This is not an optimization
+    but a requirement at flagship scale — duplicating the 3.4GB train
+    state in HBM on top of the train step's activation footprint
+    RESOURCE_EXHAUSTED the 16GB v5e (scripts/probe_async_checkpoint.py,
+    r4). Backends whose pinned_host path doesn't execute (XLA:CPU lacks
+    the annotate_device_placement custom call) fall back to an in-HBM
+    copy, and if no snapshot can be taken at all the save runs
+    synchronously with a one-time warning.
 
     Scope: single process, either backend (a single-process orbax save
     is plain device_get + TensorStore writes, no collective). Multi-host
@@ -150,7 +162,52 @@ class AsyncCheckpointSaver:
         self.enabled = enabled
         self._thread: Optional[threading.Thread] = None
         self._exc: Optional[BaseException] = None
-        self._snapshot = None  # jitted donation-safe copy, built lazily
+        self._mode: Optional[str] = None  # "host" | "hbm", fixed on 1st win
+        self._snapshot_fn = None  # jitted donation-safe copy, built lazily
+        self._warned_sync = False
+
+    def _run_snapshot(self, mode: str, arrays: List[jax.Array]):
+        if self._snapshot_fn is None:
+            if mode == "host":
+                out_shardings = [
+                    x.sharding.with_memory_kind("pinned_host")
+                    for x in arrays
+                ]
+                # identity with outputs in a different memory space is a
+                # real streamed D2H copy (no aliasing across memories)
+                self._snapshot_fn = jax.jit(
+                    lambda xs: xs, out_shardings=out_shardings)
+            else:  # "hbm" — per-leaf device copy (the original scheme)
+                self._snapshot_fn = jax.jit(
+                    lambda xs: [x.copy() for x in xs])
+        return self._snapshot_fn(arrays)
+
+    def _snapshot(self, state: Any) -> Optional[Any]:
+        """Donation-safe copy of `state`, or None if none could be taken
+        (the caller then saves synchronously)."""
+        leaves, treedef = jax.tree.flatten(state)
+        arr_idx = [i for i, x in enumerate(leaves)
+                   if isinstance(x, jax.Array)]
+        arrays = [leaves[i] for i in arr_idx]
+        for mode in (("host", "hbm") if self._mode is None
+                     else (self._mode,)):
+            try:
+                copies = self._run_snapshot(mode, arrays)
+                # surface compile/placement/OOM failures here (through
+                # the axon relay this may be a no-op, in which case the
+                # error surfaces at the writer's device_get -> wait())
+                jax.block_until_ready(copies)
+            except Exception:
+                self._snapshot_fn = None
+                if self._mode is not None:
+                    return None  # established mode failed for this save
+                continue
+            self._mode = mode
+            out = list(leaves)
+            for i, c in zip(arr_idx, copies):
+                out[i] = c
+            return jax.tree.unflatten(treedef, out)
+        return None
 
     def save(self, train_dir: str, state: Any, step: int,
              max_to_keep: int = 1, backend: str = "msgpack") -> None:
@@ -160,17 +217,24 @@ class AsyncCheckpointSaver:
                             max_to_keep=max_to_keep, backend=backend)
             return
         self.wait()
-        if self._snapshot is None:
-            self._snapshot = jax.jit(
-                lambda s: jax.tree.map(
-                    lambda x: x.copy() if isinstance(x, jax.Array) else x, s
-                )
-            )
         snap = self._snapshot(state)
+        if snap is None:
+            if not self._warned_sync:
+                self._warned_sync = True
+                logging.warning(
+                    "async checkpoint: no snapshot could be taken "
+                    "(pinned_host unsupported and the in-HBM copy "
+                    "failed); saving synchronously")
+            save_checkpoint(train_dir, state, step,
+                            max_to_keep=max_to_keep, backend=backend)
+            return
 
         def _run():
             try:
-                save_checkpoint(train_dir, snap, step,
+                # fetch in the writer thread (GIL released during the
+                # transfer) so both backends write plain host arrays
+                host_state = jax.device_get(snap)
+                save_checkpoint(train_dir, host_state, step,
                                 max_to_keep=max_to_keep, backend=backend)
             except BaseException as e:  # surfaced at the next wait()/save()
                 self._exc = e

@@ -8,7 +8,10 @@ mid-window and compares wall time against the no-save window:
   * async — AsyncCheckpointSaver (jitted on-device snapshot + writer
             thread; the fetch/write overlaps the dispatched steps).
 
-Usage: python scripts/probe_async_checkpoint.py [batch] [steps]
+Usage: python scripts/probe_async_checkpoint.py [batch] [steps] [modes]
+  modes — comma-separated window sequence (default
+  "none,sync,async,none,sync,async"); the sync window costs the full
+  ~3.4GB relay fetch (~5 min here), skip it once recorded.
 """
 
 import os
@@ -80,6 +83,13 @@ def main():
                 elif mode == "async":
                     saver.save(tmp, state,
                                int(jax.device_get(state.global_step)))
+                elif mode == "snap":
+                    # snapshot only (device -> pinned_host copy, no
+                    # writer drain): isolates the on-critical-path cost
+                    # a real host sees — the relay drain in the "async"
+                    # windows queues ahead of this window's final metric
+                    # fetch and is sandbox bandwidth, not a train stall
+                    assert saver._snapshot(state) is not None
         if mode == "async":
             # do NOT wait: the write is designed to drain behind the
             # steps; assert below that it finished inside the window
@@ -91,7 +101,9 @@ def main():
         saver.wait()
         return dt, done_in_window
 
-    for mode in ("none", "sync", "async", "none", "sync", "async"):
+    modes = (sys.argv[3].split(",") if len(sys.argv) > 3
+             else ["none", "sync", "async", "none", "sync", "async"])
+    for mode in modes:
         dt, done = window(mode)
         extra = "" if mode != "async" else (
             " (write drained inside window)" if done

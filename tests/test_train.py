@@ -369,6 +369,60 @@ def test_async_saver_matches_sync_and_survives_donation(tmp_path):
     assert not os.path.exists(async_path)  # max_to_keep=1
 
 
+def test_async_saver_snapshot_mode_fallback(tmp_path):
+    """The snapshot prefers pinned_host memory (flat HBM high-water; the
+    in-HBM duplicate of the 3.4GB flagship state OOM'd the 16GB v5e —
+    probe_async_checkpoint.py r4). XLA:CPU lists pinned_host but cannot
+    execute the placement, so the saver must settle on the in-HBM copy
+    and still produce a byte-identical checkpoint."""
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        AsyncCheckpointSaver,
+    )
+
+    state = {"x": jax.numpy.arange(8.0), "step": 3}
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    save_checkpoint(sync_dir, state, 3)
+
+    saver = AsyncCheckpointSaver()
+    saver.save(async_dir, state, 3)
+    saver.wait()
+    assert saver._mode in ("host", "hbm")  # settled, cached for next saves
+    with open(latest_checkpoint(sync_dir), "rb") as f1, \
+            open(latest_checkpoint(async_dir), "rb") as f2:
+        assert f1.read() == f2.read()
+
+    # the settled mode is reused (no re-probe): snapshot fn stays built
+    fn = saver._snapshot_fn
+    saver.save(async_dir, state, 4)
+    saver.wait()
+    assert saver._snapshot_fn is fn
+
+
+def test_async_saver_sync_fallback_when_snapshot_impossible(
+        tmp_path, monkeypatch):
+    """If no snapshot can be taken at all, the save must still happen —
+    synchronously, with a one-time warning — rather than dropping the
+    checkpoint or crashing the loop."""
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        AsyncCheckpointSaver,
+    )
+
+    saver = AsyncCheckpointSaver()
+
+    def boom(mode, arrays):
+        raise RuntimeError("RESOURCE_EXHAUSTED: synthetic")
+
+    monkeypatch.setattr(saver, "_run_snapshot", boom)
+    state = {"x": jax.numpy.arange(4.0)}
+    saver.save(str(tmp_path), state, 7)
+    assert saver._thread is None  # ran inline, nothing in flight
+    path = latest_checkpoint(str(tmp_path))
+    assert path and checkpoint_step(path) == 7
+    restored = restore_checkpoint(path, {"x": jax.numpy.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(restored["x"]),
+                                  np.arange(4.0))
+
+
 def test_async_saver_propagates_write_errors(tmp_path):
     from efficientvideoclassification_youtube8m_tpu.train import (
         AsyncCheckpointSaver,
