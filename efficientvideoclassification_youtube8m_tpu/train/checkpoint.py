@@ -189,17 +189,21 @@ class AsyncCheckpointSaver:
         arr_idx = [i for i, x in enumerate(leaves)
                    if isinstance(x, jax.Array)]
         arrays = [leaves[i] for i in arr_idx]
-        for mode in (("host", "hbm") if self._mode is None
-                     else (self._mode,)):
+        probing = self._mode is None
+        for mode in (("host", "hbm") if probing else (self._mode,)):
             try:
                 copies = self._run_snapshot(mode, arrays)
-                # surface compile/placement/OOM failures here (through
-                # the axon relay this may be a no-op, in which case the
-                # error surfaces at the writer's device_get -> wait())
-                jax.block_until_ready(copies)
+                if probing:
+                    # surface compile/placement/OOM failures while a
+                    # fallback is still possible. Once the mode is
+                    # established, skip the block: the copy executes
+                    # serially with the step stream either way, but the
+                    # host keeps dispatching (errors then surface at the
+                    # writer's device_get -> wait()).
+                    jax.block_until_ready(copies)
             except Exception:
                 self._snapshot_fn = None
-                if self._mode is not None:
+                if not probing:
                     return None  # established mode failed for this save
                 continue
             self._mode = mode

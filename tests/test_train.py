@@ -423,6 +423,39 @@ def test_async_saver_sync_fallback_when_snapshot_impossible(
                                   np.arange(4.0))
 
 
+def test_async_saver_gspmd_sharded_state(tmp_path):
+    """Async saves of a GSPMD-sharded state (DP×TP over the 8-device
+    mesh) snapshot per-shard (`with_memory_kind` on NamedSharding) and
+    round-trip identically to a synchronous orbax save — the sharding
+    equivalent of the single-device donation test."""
+    from efficientvideoclassification_youtube8m_tpu.parallel import (
+        create_mesh,
+        place_state,
+    )
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        AsyncCheckpointSaver,
+    )
+
+    cfg = TINY
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    mesh = create_mesh(model=2)
+    state = place_state(init_distill_state(cfg, opt), mesh, min_dim=16)
+
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    save_checkpoint(sync_dir, state, 0, backend="orbax")
+    saver = AsyncCheckpointSaver()
+    saver.save(async_dir, state, 0, backend="orbax")
+    saver.wait()
+    assert saver._mode in ("host", "hbm")
+
+    template = place_state(init_distill_state(cfg, opt), mesh, min_dim=16)
+    a = restore_checkpoint(latest_checkpoint(sync_dir), template)
+    b = restore_checkpoint(latest_checkpoint(async_dir), template)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y)), a, b)
+
+
 def test_async_saver_propagates_write_errors(tmp_path):
     from efficientvideoclassification_youtube8m_tpu.train import (
         AsyncCheckpointSaver,
