@@ -295,7 +295,38 @@ def run_eval(batch_size: int, compute_dtype: str):
     epoch = evl2.get()
     assert np.isfinite(epoch["gap"])
     e2e_stacked = batch_size * K * stacks / (time.perf_counter() - t0)
-    return device_rate, device_windows, e2e_rate, e2e_stacked
+
+    # int8 stacked e2e (cli.eval --quantize int8 --steps_per_dispatch 24):
+    # the int8 device-rate advantage survives the e2e loop — measured
+    # 62.5k vs 52.9k bf16 in the same session (probe_stacked_eval_int8,
+    # r4; packed D2H bytes identical, the delta is pure device compute)
+    from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
+        quantize_hierarchical_params,
+    )
+
+    qparams_host = quantize_hierarchical_params(
+        state.params_student, cfg.total_feature_size,
+        cfg.lstm_cells, cfg.lstm_layers)
+    qparams = jax.device_put(qparams_host)
+    stacked_q = build_sharded_eval_step_stacked(
+        cfg, mesh, qparams_host, top_k=cfg.top_k,
+        host_subsampled=True, quantized=True)
+    make_drain(EvaluationMetrics(cfg.num_classes, cfg.top_k))(
+        stacked_q(qparams, fk, lk, nk))  # compile + settle
+    evl3 = EvaluationMetrics(cfg.num_classes, cfg.top_k)
+    drain_stack = make_drain(evl3)
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(stacks):
+        packs = stacked_q(qparams, fk, lk, nk)
+        if pending is not None:
+            drain_stack(pending)
+        pending = packs
+    drain_stack(pending)
+    assert np.isfinite(evl3.get()["gap"])
+    e2e_stacked_int8 = batch_size * K * stacks / (time.perf_counter() - t0)
+    return (device_rate, device_windows, e2e_rate, e2e_stacked,
+            e2e_stacked_int8)
 
 
 def _require_live_backend(timeout_s: float = 600.0):
@@ -368,12 +399,12 @@ def main():
         except Exception as e:
             print(f"int8 serving bench (batch={batch}) failed: {e}",
                   file=sys.stderr)
-    eval_e2e = eval_e2e_stacked = None
+    eval_e2e = eval_e2e_stacked = eval_e2e_stacked_int8 = None
     for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
                          (256, "bfloat16")]:
         try:
-            eval_tput, eval_windows, eval_e2e, eval_e2e_stacked = run_eval(
-                batch, dtype)
+            (eval_tput, eval_windows, eval_e2e, eval_e2e_stacked,
+             eval_e2e_stacked_int8) = run_eval(batch, dtype)
             break
         except Exception as e:
             print(f"eval bench (batch={batch}) failed: {e}", file=sys.stderr)
@@ -391,6 +422,10 @@ def main():
         # the cli.eval --steps_per_dispatch 24 loop (K batches per launch)
         "eval_e2e_stacked_videos_per_sec":
             round(eval_e2e_stacked, 2) if eval_e2e_stacked else None,
+        # cli.eval --quantize int8 --steps_per_dispatch 24
+        "eval_e2e_stacked_int8_videos_per_sec":
+            round(eval_e2e_stacked_int8, 2) if eval_e2e_stacked_int8
+            else None,
         # per-window spread (sorted best->worst): deltas inside the spread
         # across rounds are relay/measurement noise, not regressions
         "train_windows": train_windows,
