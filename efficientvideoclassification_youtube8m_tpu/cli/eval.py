@@ -153,7 +153,9 @@ def evaluate(args):
     )
     aggregated = not args.frame_features
     quantize = getattr(args, "quantize", "none")
-    stacked_steps = max(1, getattr(args, "steps_per_dispatch", 1))
+    stacked_steps = flags_lib.resolve_steps_per_dispatch(
+        args, aggregated=aggregated, process_count=host.process_count,
+        logger=logger)
     if quantize == "int8":
         # evaluate the int8 SERVING numerics at scale (the deploy-gate
         # workflow): quantize each restored checkpoint's student params
@@ -245,12 +247,14 @@ def main(argv=None):
                         choices=["none", "int8"],
                         help="int8: evaluate the quantized serving path "
                         "(ops/quantize.py) — the deploy-gate accuracy check")
-    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+    parser.add_argument("--steps_per_dispatch", type=int, default=0,
                         help="K>1: scan K batches per device launch (one "
                         "packed fetch) — amortizes per-launch dispatch "
-                        "latency on high-latency links (K=24 measured best "
-                        "through the sandbox relay); epoch metrics are "
-                        "bit-identical")
+                        "latency; epoch metrics are bit-identical. "
+                        "Default 0 = auto: 24 on TPU for single-process "
+                        "frame-level eval (the measured-fastest K), 1 for "
+                        "aggregated readers, multi-host, or non-TPU "
+                        "backends. Pass 1 to force per-batch dispatch")
     args = parser.parse_args(argv)
     flags_lib.dump_flags(args, logger)
     evaluate(args)

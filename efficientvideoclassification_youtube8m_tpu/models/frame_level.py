@@ -82,6 +82,7 @@ class HierarchicalLstmModel:
         scan_unroll: int = 1,
         use_pallas: bool = False,
         pallas_train: bool = False,
+        pallas_train_interpret: bool = False,
         **classifier_kwargs,
     ) -> Dict[str, Any]:
         B, T, D = model_input.shape
@@ -109,7 +110,8 @@ class HierarchicalLstmModel:
                     return xla_scan_fn(p, xs, seq)
                 return lstm_scan.multi_lstm_scan_train_pallas(
                     p, xs, seq, tile_b=tile,
-                    bwd_tile_b=min(tile, lstm_scan.TRAIN_BWD_TILE_B))
+                    bwd_tile_b=min(tile, lstm_scan.TRAIN_BWD_TILE_B),
+                    interpret=pallas_train_interpret)
         elif use_pallas:
             # fused inference kernel (forward-only, bf16):
             # ops/pallas/lstm_scan.py. Mosaic needs batch tiles with a

@@ -350,28 +350,39 @@ def _shardmap_train(step, mesh, metric_scalars, feature_ndim: int = 3,
 
 
 def build_shardmap_distill_step(
-    cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20
+    cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20,
+    pallas_train_mode: str = None,
 ):
     """Data-parallel distillation TRAIN step via shard_map (explicit
     per-device grads + one psum over ICI). Requires model_parallelism == 1;
-    use build_sharded_distill_step (GSPMD) for tensor-parallel meshes."""
+    use build_sharded_distill_step (GSPMD) for tensor-parallel meshes.
+
+    Under shard_map the per-device program is explicit, so the fused
+    Pallas TRAIN kernels (opaque to GSPMD) run at any mesh size when
+    `cfg.lstm_pallas_train` holds on TPU. `pallas_train_mode` overrides:
+    "interpret" runs them through the Pallas interpreter (multi-device
+    parity on the virtual CPU mesh — dryrun_multichip and
+    tests/test_parallel.py), "off" forces the XLA scan."""
     if mesh.shape.get("model", 1) != 1:
         raise ValueError("shard_map train path is data-parallel only")
     step = build_distill_train_step(cfg, optimizer, top_k,
-                                    axis_name=DATA_AXIS)
+                                    axis_name=DATA_AXIS,
+                                    pallas_train_mode=pallas_train_mode)
     return _shardmap_train(step, mesh, _DISTILL_SCALARS, with_perr=True)
 
 
 def build_shardmap_finetune_step(
     cfg: TrainConfig, optimizer: Optimizer, mesh: Mesh, top_k: int = 20,
     host_subsampled: bool = False, aggregated: bool = False,
+    pallas_train_mode: str = None,
 ):
     """Data-parallel student-only TRAIN step via shard_map."""
     if mesh.shape.get("model", 1) != 1:
         raise ValueError("shard_map train path is data-parallel only")
     step = build_finetune_step(cfg, optimizer, top_k, axis_name=DATA_AXIS,
                                host_subsampled=host_subsampled,
-                               aggregated=aggregated)
+                               aggregated=aggregated,
+                               pallas_train_mode=pallas_train_mode)
     return _shardmap_train(
         step, mesh, ("student_label_loss", "student_reg_loss"),
         feature_ndim=2 if aggregated else 3,

@@ -77,7 +77,8 @@ def resolve_label_loss(cfg: TrainConfig):
 
 def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
                         pallas_override: Optional[bool] = None,
-                        per_device_program: bool = False) -> Dict[str, Any]:
+                        per_device_program: bool = False,
+                        pallas_train_mode: Optional[str] = None) -> Dict[str, Any]:
     kw: Dict[str, Any] = {
         "classifier": cfg.video_level_classifier_model,
         "compute_dtype": jnp.bfloat16
@@ -91,12 +92,25 @@ def _model_apply_kwargs(cfg: TrainConfig, inference: bool = False,
         # GSPMD, so the jit-with-shardings paths enable them only
         # single-chip; under shard_map (per_device_program) the
         # per-device program is explicit and they run at any mesh size.
-        kw["pallas_train"] = (
-            getattr(cfg, "lstm_pallas_train", False)
-            and cfg.compute_dtype == "bfloat16"
-            and jax.default_backend() == "tpu"
-            and (per_device_program or jax.device_count() == 1)
-        )
+        # `pallas_train_mode` overrides the auto rule: "interpret" forces
+        # the kernels through the Pallas interpreter (multi-device parity
+        # testing on the virtual CPU mesh — dryrun_multichip /
+        # tests/test_pallas_lstm.py), "off" forces the XLA scan, "on"
+        # forces compiled kernels.
+        if pallas_train_mode == "interpret":
+            kw["pallas_train"] = True
+            kw["pallas_train_interpret"] = True
+        elif pallas_train_mode == "off":
+            kw["pallas_train"] = False
+        elif pallas_train_mode == "on":
+            kw["pallas_train"] = True
+        else:
+            kw["pallas_train"] = (
+                getattr(cfg, "lstm_pallas_train", False)
+                and cfg.compute_dtype == "bfloat16"
+                and jax.default_backend() == "tpu"
+                and (per_device_program or jax.device_count() == 1)
+            )
     if cfg.model == "DbofModel":
         # DBoF's flag block (frame_level_models.py:119-124); sampling uses
         # the step-derived rng the towers already receive, so eval (rng
@@ -158,7 +172,8 @@ def preprocess_batch(
 def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=None,
                     inference: bool = False, dropout_keep_prob=1.0, rng=None,
                     bn_axis_name: Optional[str] = None,
-                    per_device_program: bool = False):
+                    per_device_program: bool = False,
+                    pallas_train_mode: Optional[str] = None):
     model = get_model(cfg.model)
     return model.apply(
         params,
@@ -171,7 +186,8 @@ def forward_teacher(cfg: TrainConfig, params, model_input, num_frames, labels=No
         rng=rng,
         bn_axis_name=bn_axis_name,
         **_model_apply_kwargs(cfg, inference=inference,
-                              per_device_program=per_device_program),
+                              per_device_program=per_device_program,
+                              pallas_train_mode=pallas_train_mode),
     )
 
 
@@ -180,7 +196,8 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
                     dropout_keep_prob=1.0, rng=None,
                     pallas_override: Optional[bool] = None,
                     bn_axis_name: Optional[str] = None,
-                    per_device_program: bool = False):
+                    per_device_program: bool = False,
+                    pallas_train_mode: Optional[str] = None):
     """`create_model_inference` (frame_level_models.py:269-338): same
     architecture on the subsampled frames with num_inputs_L1 chunks."""
     model = get_model(cfg.model)
@@ -196,7 +213,8 @@ def forward_student(cfg: TrainConfig, params, model_input_student, num_frames_st
         bn_axis_name=bn_axis_name,
         **_model_apply_kwargs(cfg, inference=inference,
                               pallas_override=pallas_override,
-                              per_device_program=per_device_program),
+                              per_device_program=per_device_program,
+                              pallas_train_mode=pallas_train_mode),
     )
 
 
@@ -342,7 +360,8 @@ def _distill_losses(cfg: TrainConfig, out_t, out_s, labels, label_loss_fn):
 
 
 def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
-                             axis_name: Optional[str] = None):
+                             axis_name: Optional[str] = None,
+                             pallas_train_mode: Optional[str] = None):
     """Returns step(state, features_u8, labels, num_frames) ->
     (state, metrics). Jit-compatible; sharding is applied by the caller
     (parallel/).
@@ -383,11 +402,13 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
         out_t = forward_teacher(cfg, params_t, model_input, num_frames, labels,
                                 dropout_keep_prob=keep_prob, rng=rng_t,
                                 bn_axis_name=bn_axis,
-                                per_device_program=axis_name is not None)
+                                per_device_program=axis_name is not None,
+                                pallas_train_mode=pallas_train_mode)
         out_s = forward_student(cfg, params_s, model_input_s, nf_student, labels,
                                 dropout_keep_prob=keep_prob, rng=rng_s,
                                 bn_axis_name=bn_axis,
-                                per_device_program=axis_name is not None)
+                                per_device_program=axis_name is not None,
+                                pallas_train_mode=pallas_train_mode)
         ls = _distill_losses(cfg, out_t, out_s, labels, label_loss_fn)
         total = ls["teacher_final_loss"] + ls["total_student_loss"]
         if axis_name is not None:
@@ -487,7 +508,8 @@ def build_distill_train_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int 
 def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
                         axis_name: Optional[str] = None,
                         host_subsampled: bool = False,
-                        aggregated: bool = False):
+                        aggregated: bool = False,
+                        pallas_train_mode: Optional[str] = None):
     """Student-only training: CE + reg (train_finetune.py:263-331).
 
     With `axis_name`, a per-device shard_map program: both loss terms are
@@ -524,6 +546,7 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
                 dropout_keep_prob=keep_prob, rng=rng,
                 bn_axis_name=axis_name if cfg.sync_batch_norm else None,
                 per_device_program=axis_name is not None,
+                pallas_train_mode=pallas_train_mode,
             )
             label_loss = out_s.get("loss")
             if label_loss is None:

@@ -125,3 +125,30 @@ def test_hash_check_cli(tmp_path, capsys):
     ])
     assert rc == 0
     assert "1/1 shards OK" in capsys.readouterr().out
+
+
+def test_resolve_steps_per_dispatch_auto_rule(monkeypatch):
+    """--steps_per_dispatch 0 = auto: 24 on single-process TPU frame-level
+    paths, 1 for aggregated / multi-host / non-TPU; explicit values win."""
+    import argparse
+
+    import jax
+
+    from efficientvideoclassification_youtube8m_tpu.cli import flags as fl
+
+    def ns(k):
+        return argparse.Namespace(steps_per_dispatch=k)
+
+    # CPU backend (the test env): auto -> 1
+    a = ns(0)
+    assert fl.resolve_steps_per_dispatch(a) == 1
+    assert a.steps_per_dispatch == 1
+    # explicit always wins
+    assert fl.resolve_steps_per_dispatch(ns(5)) == 5
+    assert fl.resolve_steps_per_dispatch(ns(1)) == 1
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert fl.resolve_steps_per_dispatch(ns(0)) == 24
+    assert fl.resolve_steps_per_dispatch(ns(0), aggregated=True) == 1
+    assert fl.resolve_steps_per_dispatch(ns(0), process_count=2) == 1
+    assert fl.resolve_steps_per_dispatch(ns(1)) == 1
