@@ -26,6 +26,7 @@ from typing import Any, List, Optional
 
 import flax.serialization
 import jax
+import numpy as np
 
 _POINTER = "checkpoint"
 _PREFIX = "model.ckpt"
@@ -35,6 +36,29 @@ def _orbax_checkpointer():
     import orbax.checkpoint as ocp
 
     return ocp.StandardCheckpointer()
+
+
+def _thread_safe_orbax_barriers() -> bool:
+    """Route orbax's cross-process barriers through the JAX coordination
+    service (pure RPC between processes — safe to run from a writer
+    thread) instead of its default `sync_global_devices` DEVICE
+    collective, which would interleave with the main thread's training
+    collectives and can deadlock a pod. Returns False when the routing
+    can't be enabled (orbax without the flag, or no distributed client
+    to carry the RPC barrier)."""
+    try:
+        if not jax.distributed.is_initialized():
+            return False
+        from absl import flags as absl_flags
+
+        import orbax.checkpoint._src.multihost.multihost as mh
+
+        holder = mh.EXPERIMENTAL_ORBAX_USE_DISTRIBUTED_BARRIER
+        absl_flags.FLAGS[holder.name].parse("true")
+        return bool(holder.value)
+    except Exception as e:  # missing flag / renamed module on old orbax
+        logging.warning("orbax distributed barrier unavailable: %s", e)
+        return False
 
 
 def save_checkpoint(
@@ -102,6 +126,12 @@ def save_checkpoint(
 
     if not is_master:
         return path
+    _update_pointer(train_dir, path, max_to_keep)
+    return path
+
+
+def _update_pointer(train_dir: str, path: str, max_to_keep: int) -> None:
+    """Master-only tail of a save: pointer file + max_to_keep cleanup."""
     existing = _list_checkpoints(train_dir)
     ordered = [path] + [p for p in existing if p != path]
     with open(os.path.join(train_dir, _POINTER), "w") as f:
@@ -116,7 +146,6 @@ def save_checkpoint(
                     os.remove(p)
             except OSError:
                 pass
-    return path
 
 
 class AsyncCheckpointSaver:
@@ -144,13 +173,27 @@ class AsyncCheckpointSaver:
     copy, and if no snapshot can be taken at all the save runs
     synchronously with a one-time warning.
 
-    Scope: single process, either backend (a single-process orbax save
-    is plain device_get + TensorStore writes, no collective). Multi-host
-    saves fall back to the synchronous path: the orbax multi-host save is
-    a device-collective and multi-host msgpack runs a cross-process
-    validation barrier — interleaving either with training-step
-    collectives from a second thread can reorder collectives across
-    hosts and deadlock.
+    Multi-host: also async, with the collective-ordering hazard designed
+    out rather than avoided. The jitted snapshot runs on the MAIN thread
+    (every process dispatches it at the same program point; the identity
+    program is collective-free). What runs on the writer thread never
+    touches device collectives:
+      * msgpack (replicated DP state): the master's thread device_gets
+        its LOCAL copy and writes the file — non-masters have nothing to
+        write (the shardedness validation runs on the main thread on
+        every process, preserving the raise-together contract);
+      * orbax (sharded state): every process's thread writes its OWN
+        shards via orbax, with orbax's commit barriers routed through
+        the JAX coordination service (`jax_distributed_barrier` — pure
+        RPC between the writer threads, independent of the main threads'
+        device-collective stream) instead of its default
+        `sync_global_devices` DEVICE collective. If that routing is
+        unavailable (orbax too old to have the flag, or
+        jax.distributed uninitialized) the save falls back to the
+        synchronous collective path with a one-time logged reason.
+    If any process fails to snapshot (e.g. transient HBM pressure), all
+    processes agree to save synchronously (one main-thread all-gather)
+    so no host runs a collective save against a host that went async.
 
     One save in flight at a time: a second `save()` joins the first
     (pointer-file updates stay ordered). `wait()` joins and re-raises any
@@ -213,33 +256,19 @@ class AsyncCheckpointSaver:
             return jax.tree.unflatten(treedef, out)
         return None
 
-    def save(self, train_dir: str, state: Any, step: int,
-             max_to_keep: int = 1, backend: str = "msgpack") -> None:
-        if not self.enabled or jax.process_count() > 1:
-            self.wait()
-            save_checkpoint(train_dir, state, step,
-                            max_to_keep=max_to_keep, backend=backend)
-            return
-        self.wait()
-        snap = self._snapshot(state)
-        if snap is None:
-            if not self._warned_sync:
-                self._warned_sync = True
-                logging.warning(
-                    "async checkpoint: no snapshot could be taken "
-                    "(pinned_host unsupported and the in-HBM copy "
-                    "failed); saving synchronously")
-            save_checkpoint(train_dir, state, step,
-                            max_to_keep=max_to_keep, backend=backend)
-            return
+    def _sync_save(self, train_dir, state, step, max_to_keep, backend,
+                   reason: str) -> None:
+        if not self._warned_sync:
+            self._warned_sync = True
+            logging.warning("async checkpoint: saving synchronously (%s)",
+                            reason)
+        save_checkpoint(train_dir, state, step,
+                        max_to_keep=max_to_keep, backend=backend)
 
+    def _spawn(self, fn) -> None:
         def _run():
             try:
-                # fetch in the writer thread (GIL released during the
-                # transfer) so both backends write plain host arrays
-                host_state = jax.device_get(snap)
-                save_checkpoint(train_dir, host_state, step,
-                                max_to_keep=max_to_keep, backend=backend)
+                fn()
             except BaseException as e:  # surfaced at the next wait()/save()
                 self._exc = e
 
@@ -247,6 +276,107 @@ class AsyncCheckpointSaver:
             target=_run, name="ckpt-writer", daemon=True
         )
         self._thread.start()
+
+    def save(self, train_dir: str, state: Any, step: int,
+             max_to_keep: int = 1, backend: str = "msgpack") -> None:
+        self.wait()
+        if not self.enabled:
+            save_checkpoint(train_dir, state, step,
+                            max_to_keep=max_to_keep, backend=backend)
+            return
+        if jax.process_count() > 1:
+            self._save_multihost(train_dir, state, step, max_to_keep,
+                                 backend)
+            return
+        snap = self._snapshot(state)
+        if snap is None:
+            self._sync_save(train_dir, state, step, max_to_keep, backend,
+                            "no snapshot could be taken: pinned_host "
+                            "unsupported and the in-HBM copy failed")
+            return
+
+        def _write():
+            # fetch in the writer thread (GIL released during the
+            # transfer) so both backends write plain host arrays
+            save_checkpoint(train_dir, jax.device_get(snap), step,
+                            max_to_keep=max_to_keep, backend=backend)
+
+        self._spawn(_write)
+
+    def _save_multihost(self, train_dir: str, state: Any, step: int,
+                        max_to_keep: int, backend: str) -> None:
+        """Async save from every process; see the class docstring for why
+        each piece runs on the thread it does."""
+        from jax.experimental import multihost_utils
+
+        if backend == "msgpack":
+            # raise-together shardedness validation on the MAIN thread of
+            # every process (save_checkpoint would do it, but only the
+            # master's writer thread gets that far here)
+            not_fetchable = [
+                x for x in jax.tree.leaves(state)
+                if isinstance(x, jax.Array)
+                and not (x.is_fully_addressable or x.is_fully_replicated)
+            ]
+            if not_fetchable:
+                raise ValueError(
+                    "msgpack checkpoints need the full state on this "
+                    f"host; {len(not_fetchable)} leaves are sharded "
+                    "across hosts — use --checkpoint_format orbax for "
+                    "multi-host sharded state"
+                )
+        elif backend == "orbax":
+            if not _thread_safe_orbax_barriers():
+                self._sync_save(
+                    train_dir, state, step, max_to_keep, backend,
+                    "orbax's coordination-service barrier is unavailable "
+                    "(flag missing or jax.distributed uninitialized), so "
+                    "its commit barrier would run device collectives off "
+                    "the main thread")
+                return
+            # directory prep stays on the MAIN thread (same collective,
+            # same program point on every process, as the sync path)
+            path = os.path.abspath(
+                os.path.join(train_dir, f"{_PREFIX}-{step}"))
+            os.makedirs(train_dir, exist_ok=True)
+            if jax.process_index() == 0 and os.path.exists(path):
+                shutil.rmtree(path)
+            multihost_utils.sync_global_devices(f"ckpt_dir_ready_{step}")
+        else:
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
+
+        snap = self._snapshot(state)
+        # every process must take the same sync-vs-async branch: a host
+        # running the collective orbax save against hosts that went
+        # async would deadlock — one main-thread all-gather settles it
+        ok = bool(np.min(multihost_utils.process_allgather(
+            np.asarray(snap is not None, np.int32))))
+        if not ok:
+            self._sync_save(train_dir, state, step, max_to_keep, backend,
+                            "a process failed to snapshot")
+            return
+
+        if backend == "msgpack":
+            if jax.process_index() != 0:
+                return  # nothing to write on non-masters
+            # device_get of fully-replicated/addressable leaves reads
+            # only local shards — no collective on the writer thread
+            self._spawn(lambda: save_checkpoint(
+                train_dir, jax.device_get(snap), step,
+                max_to_keep=max_to_keep, backend="msgpack"))
+            return
+
+        def _write_orbax():
+            # per-process shard writes; commit barriers between the
+            # writer threads ride the coordination service (the flag
+            # _thread_safe_orbax_barriers just set)
+            ckptr = _orbax_checkpointer()
+            ckptr.save(path, snap)
+            ckptr.wait_until_finished()
+            if jax.process_index() == 0:
+                _update_pointer(train_dir, path, max_to_keep)
+
+        self._spawn(_write_orbax)
 
     def wait(self) -> None:
         if self._thread is not None:

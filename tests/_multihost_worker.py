@@ -268,6 +268,69 @@ if not sharded_leaf.is_fully_addressable:
             "sharded msgpack save should raise on every process")
 multihost_utils.sync_global_devices("msgpack_sharded_checked")
 
+# --- ASYNC multi-host checkpointing: saves overlap stepping -------------
+# orbax: every process's WRITER THREAD writes its own shards (commit
+# barriers on the coordination service); msgpack: the master's thread
+# writes the replicated state. The main threads keep running device
+# collectives (train steps) while both drain — the interleaving that
+# the r4 sync fallback existed to avoid.
+from efficientvideoclassification_youtube8m_tpu.train import (  # noqa: E402
+    AsyncCheckpointSaver,
+)
+
+async_dir = os.path.join(os.environ["MULTIHOST_CKPT_DIR"], "async")
+saver = AsyncCheckpointSaver()
+want = jax.device_get(state)  # replicated DP state: full copy per host
+step_a = int(np.asarray(state.global_step))
+
+saver.save(async_dir, state, step_a, backend="orbax")
+assert saver._thread is not None, "orbax multi-host save must go async"
+# train steps (device collectives) while the writer threads drain;
+# the donated state buffers are protected by the snapshot
+state, _ = step(state, tf_, tl, tn)
+state, _ = step(state, tf_, tl, tn)
+saver.wait()
+apath = os.path.join(async_dir, f"model.ckpt-{step_a}")
+assert os.path.isdir(apath), apath
+restored_a = restore_checkpoint(apath, place_state(
+    init_distill_state(cfg, opt), mesh))
+jax.tree.map(
+    lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                               np.asarray(b)),
+    jax.device_get(restored_a), want,
+)
+if PID == 0:  # master wrote the pointer from its writer thread
+    with open(os.path.join(async_dir, "checkpoint")) as fh:
+        assert fh.readline().strip() == f"model.ckpt-{step_a}"
+multihost_utils.sync_global_devices("async_orbax_checked")
+
+want_m = jax.device_get(state)
+step_m = int(np.asarray(state.global_step))
+saver.save(async_dir, state, step_m, backend="msgpack")
+assert (saver._thread is not None) == (PID == 0), \
+    "msgpack multi-host: only the master has anything to write"
+state, _ = step(state, tf_, tl, tn)
+saver.wait()
+multihost_utils.sync_global_devices("async_msgpack_written")
+mpath_a = os.path.join(async_dir, f"model.ckpt-{step_m}.msgpack")
+restored_m = restore_checkpoint(
+    mpath_a, jax.device_get(init_distill_state(cfg, opt)))
+jax.tree.map(
+    lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                               np.asarray(b)),
+    restored_m, want_m,
+)
+# ...and a CROSS-HOST-sharded async msgpack save raises on EVERY process
+if not sharded_leaf.is_fully_addressable:
+    try:
+        saver.save(async_dir, {"x": sharded_leaf}, 99, backend="msgpack")
+    except ValueError as e:
+        assert "orbax" in str(e)
+    else:
+        raise AssertionError(
+            "sharded async msgpack save should raise on every process")
+multihost_utils.sync_global_devices("async_checked")
+
 # --- the FULL cli.validate binary, 2 processes end-to-end ---------------
 # (loader sharding, host-stream sync, gather_step_outputs, master-only
 # summaries, broadcast-elected checkpoint — the whole multi-host eval
