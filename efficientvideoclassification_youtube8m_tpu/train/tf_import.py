@@ -71,6 +71,12 @@ def moe_bias_to_tf(b: np.ndarray) -> np.ndarray:
 Converter = Callable[[np.ndarray], np.ndarray]
 
 
+def _is_name_leaf(x) -> bool:
+    """Name-tree leaves are (tf_name, from_tf, to_tf) triples."""
+    return (isinstance(x, tuple) and len(x) == 3
+            and isinstance(x[0], str))
+
+
 def _hierarchical_name_tree(scope: str, template: Any) -> Any:
     """A pytree shaped like the params template whose leaves are
     (tf_variable_name, converter). Template-driven so cell counts and
@@ -84,12 +90,12 @@ def _hierarchical_name_tree(scope: str, template: Any) -> Any:
                 "kernel": (
                     f"{scope}/RNN_L{level_num}/rnn/multi_rnn_cell/"
                     f"cell_{i}/basic_lstm_cell/kernel",
-                    ident,
+                    ident, ident,
                 ),
                 "bias": (
                     f"{scope}/RNN_L{level_num}/rnn/multi_rnn_cell/"
                     f"cell_{i}/basic_lstm_cell/bias",
-                    ident,
+                    ident, ident,
                 ),
             }
             for i in range(len(cells))
@@ -117,16 +123,19 @@ def _moe_classifier_name_tree(prefix: str, clf_template: Any) -> Any:
             "w": (
                 f"{prefix}/gates/weights",
                 lambda x: moe_weights_from_tf(x, m_plus_1),
+                moe_weights_to_tf,
             )
         },
         "experts": {
             "w": (
                 f"{prefix}/experts/weights",
                 lambda x: moe_weights_from_tf(x, m),
+                moe_weights_to_tf,
             ),
             "b": (
                 f"{prefix}/experts/biases",
                 lambda x: moe_bias_from_tf(x, m),
+                moe_bias_to_tf,
             ),
         },
     }
@@ -149,18 +158,18 @@ def _dbof_name_tree(scope: str, template: Any) -> Any:
 
     def bn(name):
         return {
-            "scale": (f"{scope}/{name}/gamma", ident),
-            "offset": (f"{scope}/{name}/beta", ident),
-            "moving_mean": (f"{scope}/{name}/moving_mean", ident),
-            "moving_var": (f"{scope}/{name}/moving_variance", ident),
+            "scale": (f"{scope}/{name}/gamma", ident, ident),
+            "offset": (f"{scope}/{name}/beta", ident, ident),
+            "moving_mean": (f"{scope}/{name}/moving_mean", ident, ident),
+            "moving_var": (f"{scope}/{name}/moving_variance", ident, ident),
         }
 
-    tree: Dict[str, Any] = {"cluster": {"w": (unnamed(), ident)}}
+    tree: Dict[str, Any] = {"cluster": {"w": (unnamed(), ident, ident)}}
     if not add_bn:
-        tree["cluster"]["b"] = (unnamed(), ident)
-    tree["hidden1"] = {"w": (unnamed(), ident)}
+        tree["cluster"]["b"] = (unnamed(), ident, ident)
+    tree["hidden1"] = {"w": (unnamed(), ident, ident)}
     if not add_bn:
-        tree["hidden1"]["b"] = (unnamed(), ident)
+        tree["hidden1"]["b"] = (unnamed(), ident, ident)
     if add_bn:
         tree["input_bn"] = bn("input_bn")
         tree["cluster_bn"] = bn("cluster_bn")
@@ -189,12 +198,11 @@ def _load_tree(reader: TFCheckpointReader, name_tree: Any, template: Any,
     import jax
 
     leaves_spec, treedef = jax.tree_util.tree_flatten(
-        name_tree, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2
-        and isinstance(x[0], str)
+        name_tree, is_leaf=_is_name_leaf
     )
     tmpl_leaves = treedef.flatten_up_to(template)
     out = []
-    for (tf_name, convert), tmpl in zip(leaves_spec, tmpl_leaves):
+    for (tf_name, convert, _), tmpl in zip(leaves_spec, tmpl_leaves):
         if not reader.has_tensor(tf_name + suffix):
             if suffix:
                 return None

@@ -440,3 +440,188 @@ def test_validate_cli_over_tf_checkpoint_dir(tmp_path):
         "--num_readers", "1",
         "--run_once", "true",
     ])
+
+
+# ---------------------------------------------------------------------------
+# TF-V2 EXPORT (VERDICT r4 #8): the inverse direction — checkpoints this
+# framework WRITES must be consumable by the reference's TF tooling.
+# ---------------------------------------------------------------------------
+
+
+def _stateful_distill_state(cfg, opt, t_teacher=5, t_student=9, step=84):
+    """A distill state with non-trivial Adam moments and step counts."""
+    import jax
+    import jax.numpy as jnp
+
+    state = init_distill_state(cfg, opt)
+    rng = np.random.default_rng(3)
+
+    def fill(tree):
+        return jax.tree.map(
+            lambda x: jnp.asarray(
+                rng.normal(size=x.shape).astype(np.float32)), tree)
+
+    state = state.replace(
+        opt_teacher=state.opt_teacher._replace(
+            count=jnp.asarray(t_teacher, state.opt_teacher.count.dtype),
+            mu=fill(state.opt_teacher.mu), nu=fill(state.opt_teacher.nu)),
+        opt_student=state.opt_student._replace(
+            count=jnp.asarray(t_student, state.opt_student.count.dtype),
+            mu=fill(state.opt_student.mu), nu=fill(state.opt_student.nu)),
+        global_step=jnp.asarray(step, state.global_step.dtype),
+    )
+    return state
+
+
+def test_export_import_roundtrip_distill(tmp_path):
+    """import(export(state)) == state bit-for-bit: params, both towers'
+    Adam moments + step counts, global_step."""
+    import jax
+
+    from efficientvideoclassification_youtube8m_tpu.train.tf_export import (
+        export_tf_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = _stateful_distill_state(cfg, opt)
+    prefix = export_tf_checkpoint(str(tmp_path / "model.ckpt-84"), state)
+    assert is_tf_checkpoint(prefix)
+
+    template = init_distill_state(cfg, opt, rng=__import__("jax").random.PRNGKey(99))
+    restored = restore_checkpoint(prefix, template)
+    for field in ("params_teacher", "params_student"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            getattr(restored, field), getattr(state, field))
+    for field in ("opt_teacher", "opt_student"):
+        got, want = getattr(restored, field), getattr(state, field)
+        assert int(got.count) == int(want.count), field
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), got.mu, want.mu)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), got.nu, want.nu)
+    assert int(restored.global_step) == 84
+
+
+def test_export_student_roundtrip(tmp_path):
+    import jax
+
+    from efficientvideoclassification_youtube8m_tpu.train.tf_export import (
+        export_tf_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = student_state_from_distill(
+        _stateful_distill_state(cfg, opt), opt)
+    prefix = export_tf_checkpoint(str(tmp_path / "model.ckpt-84"), state)
+    # a single-optimizer (finetune-shaped) bundle: unsuffixed powers
+    r = TFCheckpointReader(prefix)
+    assert r.has_tensor("beta1_power") and not r.has_tensor("beta1_power_1")
+    template = student_state_from_distill(
+        init_distill_state(cfg, opt, rng=jax.random.PRNGKey(42)), opt)
+    restored = restore_checkpoint(prefix, template)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        restored.params_student, state.params_student)
+    assert int(restored.opt_student.count) == int(state.opt_student.count)
+
+
+def test_exported_bundle_consumed_by_real_tf(tmp_path):
+    """The reference's own consumption paths accept an exported bundle:
+    NewCheckpointReader lists/reads it (inspect_checkpoint_myfile.py:34)
+    and tf.train.Saver RESTORES it into reference-named graph variables
+    (validate.py:350-381) with the reference's column layout."""
+    from efficientvideoclassification_youtube8m_tpu.train.tf_export import (
+        export_tf_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = _stateful_distill_state(cfg, opt)
+    prefix = export_tf_checkpoint(str(tmp_path / "model.ckpt-84"), state)
+
+    reader = tf.train.NewCheckpointReader(prefix)
+    names = sorted(reader.get_variable_to_shape_map())
+    # the reference distill graph's variable inventory, per tower
+    for scope in ("model", "model_student"):
+        for want in (
+            f"{scope}/RNN_L1/rnn/multi_rnn_cell/cell_0/basic_lstm_cell/kernel",
+            f"{scope}/RNN_L1/rnn/multi_rnn_cell/cell_1/basic_lstm_cell/bias",
+            f"{scope}/RNN_L2/rnn/multi_rnn_cell/cell_0/basic_lstm_cell/kernel",
+            f"{scope}/classifier/gates/weights",
+            f"{scope}/classifier/experts/weights",
+            f"{scope}/classifier/experts/biases",
+            f"{scope}/classifier/experts/weights/Adam",
+            f"{scope}/classifier/experts/weights/Adam_1",
+        ):
+            assert want in names, want
+    for want in ("global_step", "beta1_power", "beta1_power_1",
+                 "beta2_power", "beta2_power_1"):
+        assert want in names, want
+    assert reader.get_tensor("global_step") == 84
+    np.testing.assert_allclose(
+        reader.get_tensor("beta1_power"), 0.9 ** 5, rtol=1e-6)
+    # values arrive in the REFERENCE layout (class-interleaved columns)
+    np.testing.assert_array_equal(
+        reader.get_tensor("model/classifier/experts/weights"),
+        moe_weights_to_tf(np.asarray(state.params_teacher["classifier"]
+                                     ["experts"]["w"])))
+
+    # the real consumption path: Saver.restore into a reference graph
+    kname = "model/RNN_L1/rnn/multi_rnn_cell/cell_0/basic_lstm_cell/kernel"
+    want_k = np.asarray(state.params_teacher["rnn_l1"][0]["kernel"])
+    g = tf.Graph()
+    with g.as_default():
+        v = tf.get_variable(kname, shape=want_k.shape, dtype=tf.float32)
+        saver = tf.train.Saver({kname: v})
+        with tf.Session() as sess:
+            saver.restore(sess, prefix)
+            np.testing.assert_array_equal(sess.run(v), want_k)
+
+
+def test_export_tf_cli_end_to_end(tmp_path):
+    """cli.export_tf: msgpack train_dir -> TF bundle + TF-style pointer
+    file; the exported bundle re-imports bit-identically."""
+    import jax
+
+    from efficientvideoclassification_youtube8m_tpu.cli import export_tf
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        save_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = _stateful_distill_state(cfg, opt, step=12)
+    train_dir = str(tmp_path / "model_train")
+    save_checkpoint(train_dir, state, 12)
+
+    export_tf.main([
+        "--train_dir", train_dir,
+        "--num_classes", str(cfg.num_classes),
+        "--lstm_cells", str(cfg.lstm_cells),
+        "--num_inputs_to_lstm", str(cfg.num_inputs_to_lstm),
+        "--num_inputs_L1", str(cfg.num_inputs_L1),
+        "--max_num_frames", str(cfg.max_num_frames),
+        "--feature_sizes", cfg.feature_sizes,
+        "--scan_unroll", "1",
+    ])
+    export_dir = os.path.join(train_dir, "tf_export")
+    prefix = os.path.join(export_dir, "model.ckpt-12")
+    assert is_tf_checkpoint(prefix)
+    # the reference-format pointer file resolves through BOTH lookup
+    # paths (ours reads TF-format pointers; latest_tf_checkpoint globs)
+    assert latest_checkpoint(export_dir) == prefix
+    assert latest_tf_checkpoint(export_dir) == prefix
+    restored = restore_checkpoint(
+        prefix, init_distill_state(cfg, opt, rng=jax.random.PRNGKey(1)))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        restored.params_teacher, state.params_teacher)
+    assert int(restored.global_step) == 12
