@@ -26,7 +26,14 @@ def flatten(l):
 
 
 def calculate_hit_at_one(predictions: np.ndarray, actuals: np.ndarray) -> float:
-    """Fraction of videos whose argmax prediction is a true label."""
+    """Fraction of videos whose argmax prediction is a true label.
+
+    PARITY ORACLE, kept operation-for-operation with the reference's
+    numpy (eval_util.py:17-33): this and the two functions below are the
+    batch-level METRIC DEFINITIONS — the bit-exact yardstick the
+    production paths (topk_and_perr_on_device, the C epoch kernels) are
+    tested against. Reordering the numpy ops would break that
+    bit-identity, so they are deliberately not "redesigned"."""
     top_prediction = np.argmax(predictions, 1)
     hits = actuals[np.arange(actuals.shape[0]), top_prediction]
     return float(np.average(hits))
@@ -35,7 +42,8 @@ def calculate_hit_at_one(predictions: np.ndarray, actuals: np.ndarray) -> float:
 def calculate_precision_at_equal_recall_rate(
     predictions: np.ndarray, actuals: np.ndarray
 ) -> float:
-    """Per-video precision within the top-|labels| predictions, averaged."""
+    """Per-video precision within the top-|labels| predictions, averaged.
+    PARITY ORACLE — see calculate_hit_at_one (reference eval_util.py:36-59)."""
     aggregated_precision = 0.0
     num_videos = actuals.shape[0]
     for row in range(num_videos):
@@ -51,7 +59,8 @@ def calculate_precision_at_equal_recall_rate(
 
 
 def calculate_gap(predictions, actuals, top_k: int = 20) -> float:
-    """Global average precision over the batch's pooled top-k triplets."""
+    """Global average precision over the batch's pooled top-k triplets.
+    PARITY ORACLE — see calculate_hit_at_one (reference eval_util.py:62-79)."""
     gap_calculator = AveragePrecisionCalculator()
     sparse_predictions, sparse_labels, num_positives = top_k_by_class(
         predictions, actuals, top_k

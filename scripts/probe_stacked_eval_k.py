@@ -1,16 +1,22 @@
 """Probe: stacked-eval steps_per_dispatch (K) sweep on the real chip.
 
 Measures the end-to-end rate of the cli.eval --steps_per_dispatch loop
-(device scan of K batches per launch + packed [K, B, 2k+2] fetch + host
-epoch accumulation) for several K at batch 1024 bf16, to pick the bench
-default. r4 recorded: lag-1 19.6k, K=8 37.2k, K=16 43.9k videos/s
-(device step rate 56k); this probe extends the sweep upward (K=24/32)
-to see whether the remaining gap is dispatch latency (K helps) or the
-packed D2H bytes at the ~30 MB/s relay bandwidth (K can't help).
+(device scan of K batches per launch + packed [K, B, ...] fetch + host
+epoch accumulation) at batch 1024 bf16, to pick the auto-K default.
+r4 recorded (bf16): lag-1 19.6k, K=8 37.2k, K=16 32.7k, K=24 48.2k,
+K=32 47.9k videos/s (device step rate 56k) -> K=24.
 
-Usage: python scripts/probe_stacked_eval_k.py [K ...]
+--quantize int8 runs the quantized student instead (cli.eval composes
+--quantize int8 with --steps_per_dispatch K): the packed D2H bytes are
+identical either way, so the int8-vs-bf16 delta is pure device compute.
+r4 recorded int8 K=24: 62.5k vs 52.9k bf16 same-session (+18%) on an
+idle host — a concurrent pytest depressed one window to 36.5k, so
+measure alone.
+
+Usage: python scripts/probe_stacked_eval_k.py [--quantize int8] [K ...]
 """
 
+import argparse
 import os
 import sys
 import time
@@ -24,6 +30,11 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quantize", default="none", choices=["none", "int8"])
+    ap.add_argument("ks", nargs="*", type=int)
+    args = ap.parse_args()
+
     import jax
 
     from efficientvideoclassification_youtube8m_tpu.metrics import (
@@ -47,13 +58,24 @@ def main():
         TrainConfig,
     )
 
-    ks = [int(a) for a in sys.argv[1:]] or [16, 24, 32]
+    int8 = args.quantize == "int8"
+    ks = args.ks or ([24] if int8 else [16, 24, 32])
     B = 1024
     cfg = TrainConfig(batch_size=B, compute_dtype="bfloat16")
     opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
     state = student_state_from_distill(init_distill_state(cfg, opt), opt)
     mesh = create_mesh()
-    params = jax.device_put(state.params_student)
+    if int8:
+        from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
+            quantize_hierarchical_params,
+        )
+
+        params_host = quantize_hierarchical_params(
+            state.params_student, cfg.total_feature_size,
+            cfg.lstm_cells, cfg.lstm_layers)
+    else:
+        params_host = state.params_student
+    params = jax.device_put(params_host)
 
     rng = np.random.default_rng(2)
     feats = rng.integers(0, 256, size=(B, cfg.max_num_frames,
@@ -64,10 +86,11 @@ def main():
     nf = rng.integers(30, cfg.max_num_frames + 1, size=B).astype(np.int32)
     sub = np.asarray(host_subsample(feats, cfg.every_n))
 
+    tag = "int8 " if int8 else ""
     for K in ks:
         stacked = build_sharded_eval_step_stacked(
-            cfg, mesh, state.params_student, top_k=cfg.top_k,
-            host_subsampled=True)
+            cfg, mesh, params_host, top_k=cfg.top_k,
+            host_subsampled=True, quantized=int8)
         fk, lk, nk = shard_stacked_batch(
             mesh,
             np.broadcast_to(sub, (K,) + sub.shape),
@@ -104,7 +127,7 @@ def main():
             assert np.isfinite(evl.get()["gap"])
             rates.append(B * K * stacks / (time.perf_counter() - t0))
         rates.sort(reverse=True)
-        print(f"K={K:3d}: best {rates[0]:,.0f} v/s  "
+        print(f"{tag}K={K:3d}: best {rates[0]:,.0f} v/s  "
               f"windows {[round(r) for r in rates]}", flush=True)
 
 
