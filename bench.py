@@ -161,6 +161,49 @@ def run_serving(batch_size: int, compute_dtype: str,
     )
 
 
+def run_serving_latency(batch_size: int, compute_dtype: str = "bfloat16",
+                        requests: int = 100):
+    """Per-request serving LATENCY (p50/p99 ms) at small batch — the
+    number a serving deployment quotes alongside bulk throughput
+    (VERDICT r4 #6; the reference serves per-batch the same way,
+    inference_ensemble.py:184-199). Device-resident input, one-element
+    value fetch per request (the throughput metrics' honesty rules);
+    full-response D2H adds bytes/bandwidth, which through this sandbox's
+    ~30MB/s relay would measure the relay, not the server."""
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+        host_subsample,
+    )
+    from efficientvideoclassification_youtube8m_tpu.serving import Predictor
+    from efficientvideoclassification_youtube8m_tpu.train import (
+        init_distill_state,
+        make_optimizer,
+    )
+    from efficientvideoclassification_youtube8m_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(batch_size=batch_size, compute_dtype=compute_dtype)
+    opt = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, opt)
+    predictor = Predictor(cfg, state.params_student,
+                          serve_batch=batch_size)
+    rng = np.random.default_rng(3)
+    feats, _, nf = _bench_batch(cfg, rng)
+    f = jnp.asarray(host_subsample(feats, cfg.every_n))
+    n = jnp.asarray(nf)
+
+    for _ in range(5):  # compile + settle
+        float(predictor._fwd(predictor.params, f, n)[0, 0])
+    lat = []
+    for _ in range(requests):
+        t0 = time.perf_counter()
+        float(predictor._fwd(predictor.params, f, n)[0, 0])
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    return (lat[len(lat) // 2],
+            lat[min(len(lat) - 1, int(len(lat) * 0.99))])
+
+
 def run_eval(batch_size: int, compute_dtype: str):
     """Full cli/eval pipeline at the production configuration: the
     host_subsampled device step (cli/eval strides frames at the parser,
@@ -215,45 +258,63 @@ def run_eval(batch_size: int, compute_dtype: str):
     # end-to-end: device step + host-side epoch metric accumulation (the
     # real cli/eval inner loop: one packed D2H transfer per batch,
     # fetched one batch LAGGED so the round trip overlaps device
-    # compute), with the deferred epoch finalize in the measured window
+    # compute), with the deferred epoch finalize in the measured window.
+    # Best-of-3 WINDOWS like every other metric (VERDICT r4 #2: serving
+    # deltas < ~15% across rounds are relay noise; a single window made
+    # BENCH_r04's stacked int8-vs-bf16 comparison come out backwards).
+    # Each window gets a fresh metrics sink so the per-window epoch
+    # flush covers exactly the batches it is credited for.
     from efficientvideoclassification_youtube8m_tpu.parallel import distributed
 
-    evl = EvaluationMetrics(cfg.num_classes, cfg.top_k)
     iters = 20
 
-    def drain(out):
-        rows = distributed.gather_step_outputs(out, labels, 0)
-        evl.accumulate_topk(
+    def accumulate(sink, rows):
+        sink.accumulate_topk(
             rows["topk_val"], rows["topk_idx"], rows["labels"],
             rows["per_example_loss"],
             perr_precision=rows["perr_precision"],
         )
 
-    t0 = time.perf_counter()
-    pending = None
-    for _ in range(iters):
-        out = step(params, f, l, n)
-        if pending is not None:
-            drain(pending)
-        pending = out
-    drain(pending)
-    epoch = evl.get()
-    assert np.isfinite(epoch["gap"])
-    e2e_rate = batch_size * iters / (time.perf_counter() - t0)
+    def best_of_windows(run_window, videos_per_window, windows=3):
+        """run_window() executes one full lag-overlapped epoch window
+        (including its epoch flush) and returns nothing; rates derive
+        from wall time. First call is the warm-up."""
+        run_window()  # settle (programs were compiled above or here)
+        dts = []
+        for _ in range(windows):
+            t0 = time.perf_counter()
+            run_window()
+            dts.append(time.perf_counter() - t0)
+        dts.sort()
+        return (videos_per_window / dts[0],
+                [round(videos_per_window / dt, 1) for dt in dts])
 
-    # steps-per-dispatch e2e (cli.eval --steps_per_dispatch K): K batches
-    # scanned per launch, one packed [K, B, 2k+2] fetch — amortizes the
-    # per-launch dispatch latency that bounds the lag-1 loop on
-    # high-latency links (epoch metrics bit-identical; tests pin it)
+    def lag1_window():
+        evl = EvaluationMetrics(cfg.num_classes, cfg.top_k)
+        pending = None
+        for _ in range(iters):
+            out = step(params, f, l, n)
+            if pending is not None:
+                accumulate(evl, distributed.gather_step_outputs(
+                    pending, labels, 0))
+            pending = out
+        accumulate(evl, distributed.gather_step_outputs(pending, labels, 0))
+        assert np.isfinite(evl.get()["gap"])
+
+    e2e_rate, e2e_windows = best_of_windows(
+        lag1_window, batch_size * iters)
+
+    # steps-per-dispatch e2e (the cli.eval default on TPU: auto K=24): K
+    # batches scanned per launch, one packed [K, B, k+ceil(k/2)+2] fetch —
+    # amortizes the per-launch dispatch latency that bounds the lag-1
+    # loop on high-latency links (epoch metrics bit-identical; tests pin
+    # it). K=24 measured best through the sandbox relay (48.2k v/s vs
+    # 32.7k at K=16, 47.9k at K=32 — probe_stacked_eval_k).
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_eval_step_stacked,
         shard_stacked_batch,
     )
 
-    # K=24 measured best through the sandbox relay (same-session sweep:
-    # 48.2k v/s vs 32.7k at K=16 and 47.9k at K=32 — probe_stacked_eval_k;
-    # device rate 56k; the residual gap is packed D2H bytes at relay
-    # bandwidth). Deeper rings (depth 3) are within noise of lag-1.
     K = 24
     stacked = build_sharded_eval_step_stacked(
         cfg, mesh, state.params_student, top_k=cfg.top_k,
@@ -266,67 +327,53 @@ def run_eval(batch_size: int, compute_dtype: str):
         np.broadcast_to(nf, (K,) + nf.shape),
     )
     metas = [(labels, 0)] * K
-
-    def make_drain(sink):
-        def drain_stack(packs):
-            for rows in distributed.gather_stacked_outputs(packs, metas):
-                sink.accumulate_topk(
-                    rows["topk_val"], rows["topk_idx"], rows["labels"],
-                    rows["per_example_loss"],
-                    perr_precision=rows["perr_precision"],
-                )
-        return drain_stack
-
     stacks = max(2, (iters + K - 1) // K)
-    # warmup drains into a throwaway sink so the timed epoch flush below
-    # covers exactly the stacks*K batches it is credited for
-    make_drain(EvaluationMetrics(cfg.num_classes, cfg.top_k))(
-        stacked(params, fk, lk, nk))  # compile + settle
-    evl2 = EvaluationMetrics(cfg.num_classes, cfg.top_k)
-    drain_stack = make_drain(evl2)
-    t0 = time.perf_counter()
-    pending = None
-    for _ in range(stacks):
-        packs = stacked(params, fk, lk, nk)
-        if pending is not None:
-            drain_stack(pending)
-        pending = packs
-    drain_stack(pending)
-    epoch = evl2.get()
-    assert np.isfinite(epoch["gap"])
-    e2e_stacked = batch_size * K * stacks / (time.perf_counter() - t0)
 
-    # int8 stacked e2e (cli.eval --quantize int8 --steps_per_dispatch 24):
-    # the int8 device-rate advantage survives the e2e loop — measured
-    # 62.5k vs 52.9k bf16 in the same session (probe_stacked_eval_int8,
-    # r4; packed D2H bytes identical, the delta is pure device compute)
-    from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
-        quantize_hierarchical_params,
-    )
+    def make_stacked_window(step_fn, step_params):
+        def window():
+            evl = EvaluationMetrics(cfg.num_classes, cfg.top_k)
+            pending = None
+            for _ in range(stacks):
+                packs = step_fn(step_params, fk, lk, nk)
+                if pending is not None:
+                    for rows in distributed.gather_stacked_outputs(
+                            pending, metas):
+                        accumulate(evl, rows)
+                pending = packs
+            for rows in distributed.gather_stacked_outputs(pending, metas):
+                accumulate(evl, rows)
+            assert np.isfinite(evl.get()["gap"])
+        return window
 
-    qparams_host = quantize_hierarchical_params(
-        state.params_student, cfg.total_feature_size,
-        cfg.lstm_cells, cfg.lstm_layers)
-    qparams = jax.device_put(qparams_host)
-    stacked_q = build_sharded_eval_step_stacked(
-        cfg, mesh, qparams_host, top_k=cfg.top_k,
-        host_subsampled=True, quantized=True)
-    make_drain(EvaluationMetrics(cfg.num_classes, cfg.top_k))(
-        stacked_q(qparams, fk, lk, nk))  # compile + settle
-    evl3 = EvaluationMetrics(cfg.num_classes, cfg.top_k)
-    drain_stack = make_drain(evl3)
-    t0 = time.perf_counter()
-    pending = None
-    for _ in range(stacks):
-        packs = stacked_q(qparams, fk, lk, nk)
-        if pending is not None:
-            drain_stack(pending)
-        pending = packs
-    drain_stack(pending)
-    assert np.isfinite(evl3.get()["gap"])
-    e2e_stacked_int8 = batch_size * K * stacks / (time.perf_counter() - t0)
-    return (device_rate, device_windows, e2e_rate, e2e_stacked,
-            e2e_stacked_int8)
+    e2e_stacked, e2e_stacked_windows = best_of_windows(
+        make_stacked_window(stacked, params), batch_size * K * stacks)
+
+    # int8 stacked e2e (cli.eval --quantize int8, auto K=24) — best
+    # effort: an int8-only failure must not discard the bf16 eval
+    # numbers already measured at this batch (it is a separate loop in
+    # the serving section for the same reason)
+    e2e_stacked_int8 = e2e_stacked_int8_windows = None
+    try:
+        from efficientvideoclassification_youtube8m_tpu.ops.quantize import (
+            quantize_hierarchical_params,
+        )
+
+        qparams_host = quantize_hierarchical_params(
+            state.params_student, cfg.total_feature_size,
+            cfg.lstm_cells, cfg.lstm_layers)
+        qparams = jax.device_put(qparams_host)
+        stacked_q = build_sharded_eval_step_stacked(
+            cfg, mesh, qparams_host, top_k=cfg.top_k,
+            host_subsampled=True, quantized=True)
+        e2e_stacked_int8, e2e_stacked_int8_windows = best_of_windows(
+            make_stacked_window(stacked_q, qparams),
+            batch_size * K * stacks)
+    except Exception as e:  # noqa: BLE001
+        print(f"int8 stacked eval failed (bf16 numbers kept): {e}",
+              file=sys.stderr)
+    return (device_rate, device_windows, e2e_rate, e2e_windows,
+            e2e_stacked, e2e_stacked_windows,
+            e2e_stacked_int8, e2e_stacked_int8_windows)
 
 
 def _require_live_backend(timeout_s: float = 600.0):
@@ -400,14 +447,31 @@ def main():
             print(f"int8 serving bench (batch={batch}) failed: {e}",
                   file=sys.stderr)
     eval_e2e = eval_e2e_stacked = eval_e2e_stacked_int8 = None
+    eval_e2e_windows = eval_e2e_stacked_windows = None
+    eval_e2e_stacked_int8_windows = None
     for batch, dtype in [(1024, "bfloat16"), (512, "bfloat16"),
                          (256, "bfloat16")]:
         try:
-            (eval_tput, eval_windows, eval_e2e, eval_e2e_stacked,
-             eval_e2e_stacked_int8) = run_eval(batch, dtype)
+            (eval_tput, eval_windows, eval_e2e, eval_e2e_windows,
+             eval_e2e_stacked, eval_e2e_stacked_windows,
+             eval_e2e_stacked_int8,
+             eval_e2e_stacked_int8_windows) = run_eval(batch, dtype)
             break
         except Exception as e:
             print(f"eval bench (batch={batch}) failed: {e}", file=sys.stderr)
+
+    # per-request serving latency at small batch (best-effort)
+    latency = {}
+    for lb in (8, 64):
+        try:
+            p50, p99 = run_serving_latency(lb)
+            latency[f"serving_latency_ms_p50_b{lb}"] = round(p50, 3)
+            latency[f"serving_latency_ms_p99_b{lb}"] = round(p99, 3)
+        except Exception as e:
+            print(f"serving latency bench (batch={lb}) failed: {e}",
+                  file=sys.stderr)
+            latency[f"serving_latency_ms_p50_b{lb}"] = None
+            latency[f"serving_latency_ms_p99_b{lb}"] = None
 
     print(json.dumps({
         "metric": "train_videos_per_sec_per_chip",
@@ -426,12 +490,16 @@ def main():
         "eval_e2e_stacked_int8_videos_per_sec":
             round(eval_e2e_stacked_int8, 2) if eval_e2e_stacked_int8
             else None,
+        **latency,
         # per-window spread (sorted best->worst): deltas inside the spread
         # across rounds are relay/measurement noise, not regressions
         "train_windows": train_windows,
         "serving_windows": serving_windows,
         "serving_int8_windows": serving_int8_windows,
         "eval_windows": eval_windows,
+        "eval_e2e_windows": eval_e2e_windows,
+        "eval_e2e_stacked_windows": eval_e2e_stacked_windows,
+        "eval_e2e_stacked_int8_windows": eval_e2e_stacked_int8_windows,
     }))
 
 
