@@ -482,8 +482,12 @@ def main():
         "serving_int8_videos_per_sec":
             round(serving_int8, 2) if serving_int8 else None,
         "eval_videos_per_sec": round(eval_tput, 2) if eval_tput else None,
+        # lag-1 per-batch dispatch (cli.eval --steps_per_dispatch 1)
         "eval_e2e_videos_per_sec": round(eval_e2e, 2) if eval_e2e else None,
-        # the cli.eval --steps_per_dispatch 24 loop (K batches per launch)
+        # what `cli.eval` with NO flags runs on TPU since r5: auto K=24
+        # stacked dispatch (flags.resolve_steps_per_dispatch)
+        "eval_e2e_default_videos_per_sec":
+            round(eval_e2e_stacked, 2) if eval_e2e_stacked else None,
         "eval_e2e_stacked_videos_per_sec":
             round(eval_e2e_stacked, 2) if eval_e2e_stacked else None,
         # cli.eval --quantize int8 --steps_per_dispatch 24

@@ -68,8 +68,11 @@ HELDOUT_VIDEOS = 512
 # plateau-escape step and the whole loss trajectory are EXACT numbers,
 # not luck bands. Two back-to-back hardware runs produced identical
 # digests. Asserted only in the default configuration.
-DETERMINISTIC_CONVERGED_STEP = None  # filled from the r5 hardware record
-DETERMINISTIC_TRAJECTORY_SHA1 = None
+# r5 hardware record (v5e, two back-to-back runs, identical to the
+# digest): train GAP 1.00 first at EXACTLY step 338; 480 logged steps;
+# held-out Hit@1 0.969 / PERR 0.852 / GAP 0.781 / mAP 0.826.
+DETERMINISTIC_CONVERGED_STEP = 338
+DETERMINISTIC_TRAJECTORY_SHA1 = "e3c3f539ec680c22d599139d2afde58afb91468f"
 
 
 class _GapCapture(logging.Handler):
