@@ -55,10 +55,14 @@ def _dump_optimizer(name_tree: Any, opt: Any, ordinal: int,
         return
     _dump_tree(name_tree, opt.mu, out, "/Adam")
     _dump_tree(name_tree, opt.nu, out, "/Adam_1")
+    # TF1 Adam stores b^(t+1) after t updates (initialized to b,
+    # multiplied after each apply) — the factor its NEXT apply uses.
+    # b^count would hand a fresh state power 1.0 and NaN TF's bias
+    # correction (division by 1 - beta1_power).
     t = int(np.asarray(opt.count))
     sfx = "" if ordinal == 0 else f"_{ordinal}"
-    out[f"beta1_power{sfx}"] = np.float32(_ADAM_B1 ** t)
-    out[f"beta2_power{sfx}"] = np.float32(_ADAM_B2 ** t)
+    out[f"beta1_power{sfx}"] = np.float32(_ADAM_B1 ** (t + 1))
+    out[f"beta2_power{sfx}"] = np.float32(_ADAM_B2 ** (t + 1))
 
 
 def export_distill_state(prefix: str, state: Any) -> str:

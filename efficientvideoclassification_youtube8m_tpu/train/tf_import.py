@@ -221,15 +221,27 @@ def _load_tree(reader: TFCheckpointReader, name_tree: Any, template: Any,
 
 
 def _adam_count(reader: TFCheckpointReader, ordinal: int) -> int:
-    """Recover TF Adam's step count from beta1_power = b1^t. The teacher
-    optimizer is built before the student's (train.py:332,416), so its
-    power variable is `beta1_power` and the student's `beta1_power_1`."""
+    """Recover TF Adam's update count from beta1_power.
+
+    TF1 Adam initializes beta1_power to b1 and multiplies AFTER each
+    apply (adam.py _finish), so a checkpoint saved after t updates
+    stores b1^(t+1) — the correction factor its NEXT apply will use.
+    Our optimizer's next update uses b1^(count+1), so count = t =
+    log(b1p)/log(b1) - 1 (verified against a live tf.train.AdamOptimizer:
+    fresh graph stores 0.9, after 3 updates 0.9^4).
+
+    The teacher optimizer is built before the student's
+    (train.py:332,416), so its power variable is `beta1_power` and the
+    student's `beta1_power_1`."""
     name = "beta1_power" if ordinal == 0 else f"beta1_power_{ordinal}"
     for candidate in (name, f"model/{name}", f"model_student/{name}"):
         if reader.has_tensor(candidate):
             b1p = float(reader.get_tensor(candidate))
             if 0.0 < b1p < 1.0:
-                return int(round(math.log(b1p) / math.log(_ADAM_B1)))
+                return max(
+                    0,
+                    int(round(math.log(b1p) / math.log(_ADAM_B1))) - 1,
+                )
     return 0
 
 

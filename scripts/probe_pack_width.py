@@ -2,13 +2,20 @@
 
 The packed eval buffer carries top-k indices as int16 PAIRS bitcast into
 f32 lanes ([B, k + ceil(k/2) + 2] instead of [B, 2k + 2] — 24% fewer
-D2H bytes at k=20, train/step.py:_pack_host_outputs). The repo's own
-analysis says the stacked-eval e2e gap to the device rate is pure D2H
-bandwidth (~30 MB/s through the sandbox relay), so the byte cut should
-show up e2e. This probe measures both layouts in one session: the wide
-layout is forced by building the step with the pack function's
-num_classes gate disabled (the >PACKED_IDX_MAX fallback path — exactly
-what a huge-vocab model would get).
+D2H bytes at k=20, train/step.py:_pack_host_outputs). This probe
+measures both layouts in one session: the wide layout is forced by
+building the step with the pack function's num_classes gate disabled
+(the >PACKED_IDX_MAX fallback path — exactly what a huge-vocab model
+would get).
+
+r5 RESULT (v5e, K=24 b=1024): paired 49.1k [49123,48761,46245] vs wide
+50.9k [50855,50245,49539] videos/s — e2e-NEUTRAL within relay noise.
+The lag ring hides the packed D2H under the next stack's ~440 ms of
+device compute (even the wide stack's 4.1 MB is ~137 ms at the relay's
+30 MB/s, fully overlapped), so the byte cut only pays when the
+transfer ISN'T hidden: slower links relative to compute, un-ringed
+consumers, or real hosts where the fetch is latency- not
+bandwidth-bound. The paired pack stays (bit-exact, costless, smaller).
 
 Usage: python scripts/probe_pack_width.py [K ...]   (default 24)
 """
@@ -76,13 +83,13 @@ def main():
 
     for K in ks:
         for name, patch in (("paired", orig_pack), ("wide  ", wide_pack)):
+            # the patch must stay live through the first CALL of the
+            # jitted program (jax traces at first execution, not at
+            # build), so the whole variant block runs under it
             step_mod._pack_host_outputs = patch
-            try:
-                stacked = build_sharded_eval_step_stacked(
-                    cfg, mesh, state.params_student, top_k=cfg.top_k,
-                    host_subsampled=True)
-            finally:
-                step_mod._pack_host_outputs = orig_pack
+            stacked = build_sharded_eval_step_stacked(
+                cfg, mesh, state.params_student, top_k=cfg.top_k,
+                host_subsampled=True)
             fk, lk, nk = shard_stacked_batch(
                 mesh,
                 np.broadcast_to(sub, (K,) + sub.shape),
@@ -121,6 +128,7 @@ def main():
                 assert np.isfinite(evl.get()["gap"])
                 rates.append(B * K * stacks / (time.perf_counter() - t0))
             rates.sort(reverse=True)
+            step_mod._pack_host_outputs = orig_pack
             print(f"{name} pack ({lanes} lanes) K={K:3d}: "
                   f"best {rates[0]:,.0f} v/s  "
                   f"windows {[round(r) for r in rates]}", flush=True)

@@ -84,10 +84,12 @@ def _save_tf_fixture(tmp_path, state, global_step=84, with_adam=True):
                 size=tensors[name].shape).astype(np.float32)
             tensors[name + "/Adam_1"] = np.abs(rng.normal(
                 size=tensors[name].shape)).astype(np.float32)
-        tensors["beta1_power"] = np.float32(0.9 ** 5)    # teacher: t=5
-        tensors["beta1_power_1"] = np.float32(0.9 ** 9)  # student: t=9
-        tensors["beta2_power"] = np.float32(0.999 ** 5)
-        tensors["beta2_power_1"] = np.float32(0.999 ** 9)
+        # TF1 Adam stores b^(t+1) after t updates (init b, multiplied
+        # after each apply — verified against a live AdamOptimizer)
+        tensors["beta1_power"] = np.float32(0.9 ** 6)     # teacher: t=5
+        tensors["beta1_power_1"] = np.float32(0.9 ** 10)  # student: t=9
+        tensors["beta2_power"] = np.float32(0.999 ** 6)
+        tensors["beta2_power_1"] = np.float32(0.999 ** 10)
 
     g = tf.Graph()
     with g.as_default():
@@ -565,8 +567,9 @@ def test_exported_bundle_consumed_by_real_tf(tmp_path):
                  "beta2_power", "beta2_power_1"):
         assert want in names, want
     assert reader.get_tensor("global_step") == 84
+    # t=5 updates -> TF stores b1^6 (what its next apply uses)
     np.testing.assert_allclose(
-        reader.get_tensor("beta1_power"), 0.9 ** 5, rtol=1e-6)
+        reader.get_tensor("beta1_power"), 0.9 ** 6, rtol=1e-6)
     # values arrive in the REFERENCE layout (class-interleaved columns)
     np.testing.assert_array_equal(
         reader.get_tensor("model/classifier/experts/weights"),
@@ -625,3 +628,60 @@ def test_export_tf_cli_end_to_end(tmp_path):
             np.asarray(a), np.asarray(b)),
         restored.params_teacher, state.params_teacher)
     assert int(restored.global_step) == 12
+
+
+def test_adam_count_matches_live_tf_optimizer(tmp_path):
+    """The beta1_power <-> count conversion pinned against a REAL
+    tf.train.AdamOptimizer (not a synthetic fixture): TF stores b1^(t+1)
+    after t updates, so import must recover t and export must write
+    b1^(t+1) — b1^t would hand a fresh state power 1.0 and NaN TF's
+    1/(1-beta1_power) bias correction."""
+    import math
+
+    from efficientvideoclassification_youtube8m_tpu.train.tf_import import (
+        _adam_count,
+    )
+
+    g = tf.Graph()
+    with g.as_default():
+        v = tf.get_variable("model/v", initializer=np.float32([1.0, 2.0]))
+        opt = tf.train.AdamOptimizer(learning_rate=0.1)
+        train_op = opt.minimize(tf.reduce_sum(v * v))
+        saver = tf.train.Saver()
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            for _ in range(3):
+                sess.run(train_op)
+            prefix = saver.save(sess, str(tmp_path / "model.ckpt"),
+                                write_meta_graph=False)
+    reader = TFCheckpointReader(prefix)
+    b1p = float(reader.get_tensor("model/v/Adam/../../beta1_power"
+                                  if reader.has_tensor(
+                                      "model/v/Adam/../../beta1_power")
+                                  else "beta1_power"))
+    np.testing.assert_allclose(b1p, 0.9 ** 4, rtol=1e-6)
+    assert _adam_count(reader, 0) == 3
+    # a NEVER-trained graph stores b1^1 -> count 0 (fresh)
+    g2 = tf.Graph()
+    with g2.as_default():
+        v = tf.get_variable("model/v", initializer=np.float32([1.0]))
+        opt = tf.train.AdamOptimizer(learning_rate=0.1)
+        opt.minimize(tf.reduce_sum(v * v))
+        saver = tf.train.Saver()
+        with tf.Session() as sess:
+            sess.run(tf.global_variables_initializer())
+            prefix2 = saver.save(sess, str(tmp_path / "fresh.ckpt"),
+                                 write_meta_graph=False)
+    assert _adam_count(TFCheckpointReader(prefix2), 0) == 0
+    # export side: a fresh state (count=0) must store TF's fresh-init
+    # power, never 1.0
+    from efficientvideoclassification_youtube8m_tpu.train.tf_export import (
+        export_tf_checkpoint,
+    )
+
+    cfg = _tiny_cfg()
+    o = make_optimizer(cfg.optimizer, cfg.clip_gradient_norm)
+    state = init_distill_state(cfg, o)
+    p3 = export_tf_checkpoint(str(tmp_path / "ours.ckpt-0"), state)
+    b1p = float(TFCheckpointReader(p3).get_tensor("beta1_power"))
+    assert math.isclose(b1p, 0.9, rel_tol=1e-6)
