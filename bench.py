@@ -200,8 +200,14 @@ def run_serving_latency(batch_size: int, compute_dtype: str = "bfloat16",
         float(predictor._fwd(predictor.params, f, n)[0, 0])
         lat.append((time.perf_counter() - t0) * 1e3)
     lat.sort()
-    return (lat[len(lat) // 2],
-            lat[min(len(lat) - 1, int(len(lat) * 0.99))])
+    # nearest-rank percentiles: ceil(q*n)-1 (int(n*0.99) at n=100 would
+    # index the MAX, letting one relay hiccup masquerade as p99)
+    import math
+
+    def rank(q):
+        return lat[min(len(lat) - 1, max(0, math.ceil(q * len(lat)) - 1))]
+
+    return rank(0.50), rank(0.99)
 
 
 def run_eval(batch_size: int, compute_dtype: str):

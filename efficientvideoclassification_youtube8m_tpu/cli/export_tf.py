@@ -59,10 +59,21 @@ def export(args) -> str:
     os.makedirs(os.path.dirname(os.path.abspath(prefix)), exist_ok=True)
     out = export_tf_checkpoint(prefix, state)
     # a TF-style pointer file so the reference's
-    # tf.train.latest_checkpoint finds it
-    with open(os.path.join(os.path.dirname(out), "checkpoint"), "w") as f:
-        f.write(f'model_checkpoint_path: "{os.path.basename(out)}"\n')
-        f.write(f'all_model_checkpoint_paths: "{os.path.basename(out)}"\n')
+    # tf.train.latest_checkpoint finds it — but NEVER clobber an
+    # existing pointer: if --output_prefix points inside a live
+    # train_dir, overwriting its `checkpoint` file would silently
+    # redirect the next resume/eval poll at the exported bundle
+    pointer = os.path.join(os.path.dirname(out), "checkpoint")
+    if os.path.exists(pointer):
+        logger.warning(
+            "%s already exists (a live checkpoint directory?) — leaving "
+            "it untouched; point the reference tooling at the bundle "
+            "prefix directly", pointer)
+    else:
+        with open(pointer, "w") as f:
+            f.write(f'model_checkpoint_path: "{os.path.basename(out)}"\n')
+            f.write(
+                f'all_model_checkpoint_paths: "{os.path.basename(out)}"\n')
     logger.info("Exported TF-V2 bundle %s", out)
     return out
 

@@ -160,8 +160,12 @@ def resolve_steps_per_dispatch(args: argparse.Namespace,
     batches are cheap; dispatch isn't the bottleneck), multi-host runs
     (per-process partial stacks interact with cross-host batch padding),
     and non-TPU backends (compile time of the K-scan dominates on CPU).
-    An explicit --steps_per_dispatch >= 1 always wins."""
-    k = max(0, getattr(args, "steps_per_dispatch", 1))
+    An explicit --steps_per_dispatch >= 1 always wins. Negative values
+    clamp to 1 (per-batch dispatch — the pre-auto behavior, and what
+    cli.infer's max(1, ...) clamp still does); exactly 0 means auto."""
+    k = getattr(args, "steps_per_dispatch", 1)
+    if k < 0:
+        k = 1
     if k == 0:
         import jax
 

@@ -277,16 +277,30 @@ class AsyncCheckpointSaver:
         )
         self._thread.start()
 
+    def _join_quietly(self) -> Optional[BaseException]:
+        """Join the in-flight writer WITHOUT raising; return its failure
+        (if any) for the caller to surface at a safe point."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        exc, self._exc = self._exc, None
+        return exc
+
     def save(self, train_dir: str, state: Any, step: int,
              max_to_keep: int = 1, backend: str = "msgpack") -> None:
+        if jax.process_count() > 1 and self.enabled:
+            # multi-host: the previous writer's failure must surface on
+            # EVERY process at the same program point — a local raise at
+            # wait() would leave the peers blocking in this save's first
+            # collective (dir-prep barrier / snapshot allgather) until
+            # the coordination timeout instead of failing cleanly
+            self._save_multihost(train_dir, state, step, max_to_keep,
+                                 backend)
+            return
         self.wait()
         if not self.enabled:
             save_checkpoint(train_dir, state, step,
                             max_to_keep=max_to_keep, backend=backend)
-            return
-        if jax.process_count() > 1:
-            self._save_multihost(train_dir, state, step, max_to_keep,
-                                 backend)
             return
         snap = self._snapshot(state)
         if snap is None:
@@ -308,6 +322,20 @@ class AsyncCheckpointSaver:
         """Async save from every process; see the class docstring for why
         each piece runs on the thread it does."""
         from jax.experimental import multihost_utils
+
+        # join the previous writer quietly and agree on its outcome
+        # BEFORE any of this save's collectives: if any process's writer
+        # failed, every process raises HERE, together (the raise-together
+        # contract the msgpack validation below also honors)
+        exc = self._join_quietly()
+        peers_ok = bool(np.min(multihost_utils.process_allgather(
+            np.asarray(exc is None, np.int32))))
+        if exc is not None:
+            raise exc
+        if not peers_ok:
+            raise RuntimeError(
+                "a peer process's checkpoint writer failed (its raise "
+                "carries the underlying error)")
 
         if backend == "msgpack":
             # raise-together shardedness validation on the MAIN thread of
@@ -345,12 +373,18 @@ class AsyncCheckpointSaver:
         else:
             raise ValueError(f"unknown checkpoint backend {backend!r}")
 
-        snap = self._snapshot(state)
+        # msgpack writes the replicated state from the MASTER only, so
+        # non-masters skip the snapshot entirely (at flagship scale it
+        # is a ~3.4GB device->host DMA whose result they would discard,
+        # and a failure on a host that writes nothing must not drag the
+        # cluster into the synchronous fallback)
+        need_snapshot = backend != "msgpack" or jax.process_index() == 0
+        snap = self._snapshot(state) if need_snapshot else None
         # every process must take the same sync-vs-async branch: a host
         # running the collective orbax save against hosts that went
         # async would deadlock — one main-thread all-gather settles it
-        ok = bool(np.min(multihost_utils.process_allgather(
-            np.asarray(snap is not None, np.int32))))
+        ok = bool(np.min(multihost_utils.process_allgather(np.asarray(
+            snap is not None or not need_snapshot, np.int32))))
         if not ok:
             self._sync_save(train_dir, state, step, max_to_keep, backend,
                             "a process failed to snapshot")

@@ -22,8 +22,10 @@ Name map (teacher scope "model", student scope "model_student"):
 
 Adam slot variables (`<var>/Adam`, `<var>/Adam_1`) are imported when
 present so training can RESUME from a reference checkpoint with the
-optimizer moments intact; the TF step count is recovered from
-`beta1_power` (= b1^t).
+optimizer moments intact; the TF update count t is recovered from
+`beta1_power` = b1^(t+1) — TF1 Adam initializes the power to b1 and
+multiplies AFTER each apply, so a checkpoint saved after t updates
+stores the factor its NEXT apply will use (see _adam_count).
 """
 
 from __future__ import annotations
@@ -79,8 +81,10 @@ def _is_name_leaf(x) -> bool:
 
 def _hierarchical_name_tree(scope: str, template: Any) -> Any:
     """A pytree shaped like the params template whose leaves are
-    (tf_variable_name, converter). Template-driven so cell counts and
-    mixture counts come from the actual state, not flags."""
+    (tf_variable_name, from_tf, to_tf) triples (the third member is
+    what train/tf_export.py uses to write the inverse direction).
+    Template-driven so cell counts and mixture counts come from the
+    actual state, not flags."""
     ident: Converter = lambda x: x  # noqa: E731
     tree: Dict[str, Any] = {}
     for level_key, level_num in (("rnn_l1", 1), ("rnn_l2", 2)):

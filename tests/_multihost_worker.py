@@ -306,11 +306,14 @@ multihost_utils.sync_global_devices("async_orbax_checked")
 
 want_m = jax.device_get(state)
 step_m = int(np.asarray(state.global_step))
-saver.save(async_dir, state, step_m, backend="msgpack")
-assert (saver._thread is not None) == (PID == 0), \
+saver_m = AsyncCheckpointSaver()  # fresh: pins the non-master skip below
+saver_m.save(async_dir, state, step_m, backend="msgpack")
+assert (saver_m._thread is not None) == (PID == 0), \
     "msgpack multi-host: only the master has anything to write"
+# non-masters write nothing, so they must not pay the snapshot either
+assert (saver_m._mode is not None) == (PID == 0), saver_m._mode
 state, _ = step(state, tf_, tl, tn)
-saver.wait()
+saver_m.wait()
 multihost_utils.sync_global_devices("async_msgpack_written")
 mpath_a = os.path.join(async_dir, f"model.ckpt-{step_m}.msgpack")
 restored_m = restore_checkpoint(
@@ -329,6 +332,22 @@ if not sharded_leaf.is_fully_addressable:
     else:
         raise AssertionError(
             "sharded async msgpack save should raise on every process")
+
+# writer-thread failure surfaces on EVERY process at the next save's
+# entry (raise-together): a local-only raise would leave the peers
+# blocking in the save's first collective until the coordination
+# timeout. Poison one process's deferred-exception slot and save.
+saver_f = AsyncCheckpointSaver()
+if PID == 1:
+    saver_f._exc = RuntimeError("injected writer failure")
+try:
+    saver_f.save(async_dir, state, 98, backend="orbax")
+except RuntimeError as e:
+    msg = str(e)
+else:
+    raise AssertionError("poisoned save must raise on every process")
+assert ("injected" in msg) == (PID == 1), msg
+assert ("peer" in msg) == (PID == 0), msg
 multihost_utils.sync_global_devices("async_checked")
 
 # --- the FULL cli.validate binary, 2 processes end-to-end ---------------

@@ -152,3 +152,18 @@ def test_resolve_steps_per_dispatch_auto_rule(monkeypatch):
     assert fl.resolve_steps_per_dispatch(ns(0), aggregated=True) == 1
     assert fl.resolve_steps_per_dispatch(ns(0), process_count=2) == 1
     assert fl.resolve_steps_per_dispatch(ns(1)) == 1
+
+
+def test_resolve_steps_per_dispatch_negative_clamps_to_one(monkeypatch):
+    """Explicit negative values clamp to per-batch dispatch (the pre-auto
+    max(1, k) behavior) — they must NOT fall into the auto branch."""
+    import argparse
+
+    import jax
+
+    from efficientvideoclassification_youtube8m_tpu.cli import flags as fl
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    a = argparse.Namespace(steps_per_dispatch=-1)
+    assert fl.resolve_steps_per_dispatch(a) == 1
+    assert a.steps_per_dispatch == 1

@@ -655,10 +655,7 @@ def test_adam_count_matches_live_tf_optimizer(tmp_path):
             prefix = saver.save(sess, str(tmp_path / "model.ckpt"),
                                 write_meta_graph=False)
     reader = TFCheckpointReader(prefix)
-    b1p = float(reader.get_tensor("model/v/Adam/../../beta1_power"
-                                  if reader.has_tensor(
-                                      "model/v/Adam/../../beta1_power")
-                                  else "beta1_power"))
+    b1p = float(reader.get_tensor("beta1_power"))
     np.testing.assert_allclose(b1p, 0.9 ** 4, rtol=1e-6)
     assert _adam_count(reader, 0) == 3
     # a NEVER-trained graph stores b1^1 -> count 0 (fresh)

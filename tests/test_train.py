@@ -507,11 +507,19 @@ def test_async_saver_orbax_single_process(tmp_path):
             np.asarray(x), np.asarray(y)), a, b)
 
 
-def test_async_saver_sync_fallback_multihost(tmp_path, monkeypatch):
-    """Multi-host saves route through the synchronous path (the orbax
-    save is a device-collective and multi-host msgpack runs a validation
-    barrier; a writer thread could reorder either against training
-    collectives across hosts)."""
+def test_async_saver_orbax_multihost_sync_fallback(tmp_path, monkeypatch):
+    """Multi-host orbax saves fall back to the SYNCHRONOUS path only
+    when the coordination-service barrier routing is unavailable
+    (jax.distributed uninitialized here, so orbax's commit barrier would
+    run device collectives off the main thread). The real async
+    multi-host behavior — both backends saving from writer threads while
+    stepping, raise-together on writer failure — is covered by the
+    2-process run (tests/_multihost_worker.py)."""
+    import threading
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
     from efficientvideoclassification_youtube8m_tpu.train import (
         AsyncCheckpointSaver,
     )
@@ -519,19 +527,22 @@ def test_async_saver_sync_fallback_multihost(tmp_path, monkeypatch):
         checkpoint as checkpoint_mod,
     )
 
-    import threading
-
     calls = []
     monkeypatch.setattr(
         checkpoint_mod, "save_checkpoint",
         lambda *a, **kw: calls.append((threading.get_ident(), a, kw)))
     monkeypatch.setattr(checkpoint_mod.jax, "process_count", lambda: 2)
+    # the single-process mock can't run a real cross-process all-gather;
+    # stand in for "every peer reports ok"
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda x, **kw: np.asarray([x, x]))
 
     saver = AsyncCheckpointSaver()
     saver.save(str(tmp_path), {"x": jax.numpy.ones((2,))}, 1,
                backend="orbax")
     assert calls and calls[0][0] == threading.get_ident()  # ran inline
     assert calls[0][2]["backend"] == "orbax"
+    assert saver._warned_sync  # fell back WITH the logged reason
 
 
 def test_distill_overfits_one_batch():
