@@ -24,6 +24,7 @@ from efficientvideoclassification_youtube8m_tpu.data import (
 )
 from efficientvideoclassification_youtube8m_tpu.ensemble import (
     format_lines,
+    format_ranked_lines,
     write_predictions_csv,
 )
 from efficientvideoclassification_youtube8m_tpu.train import (
@@ -40,18 +41,21 @@ logger = logging.getLogger("infer")
 def rescale_bias_param(params, tensor_path: str, alpha: float):
     """new = old/alpha + mean(old - old/alpha) (inference_bias.py:158-161),
     addressed by a '/'-joined path into the params pytree."""
+    # params pytrees here are dicts and lists only (ops/lstm.py cell
+    # lists of {"kernel","bias"} dicts; classifier dicts) — tuples would
+    # not support the item assignment below anyway
     keys = [k for k in tensor_path.split("/") if k]
     node = params
     for k in keys[:-1]:
-        node = node[int(k)] if isinstance(node, (list, tuple)) else node[k]
+        node = node[int(k)] if isinstance(node, list) else node[k]
     leaf_key = keys[-1]
-    old = np.asarray(node[int(leaf_key)] if isinstance(node, (list, tuple))
+    old = np.asarray(node[int(leaf_key)] if isinstance(node, list)
                      else node[leaf_key])
     scaled = old / alpha
     new = scaled + np.mean(old - scaled)
     import jax.numpy as jnp
 
-    if isinstance(node, (list, tuple)):
+    if isinstance(node, list):
         node[int(leaf_key)] = jnp.asarray(new)
     else:
         node[leaf_key] = jnp.asarray(new)
@@ -87,6 +91,17 @@ def inference(args):
     # inference_bias.py:195-199; frame path strides frames on the host
     # (1/every_n the H2D bytes)
     aggregated = not args.frame_features
+    # ONE clamp shared by the builder choice and the rows() loop below.
+    # Unlike cli.eval/validate there is NO auto mode here: the stacked
+    # path emits rows from the DEVICE top-k, whose probability-tie
+    # ordering can differ from the K=1 host top-k — changing the default
+    # would change CSV outputs, so K>1 stays an explicit opt-in.
+    if getattr(args, "steps_per_dispatch", 1) == 0:
+        logger.info("steps_per_dispatch=0 (auto) is not applied to "
+                    "inference (device-top-k tie order differs from the "
+                    "host path); using 1 — pass an explicit K to opt in")
+    steps = max(1, getattr(args, "steps_per_dispatch", 1))
+    args.steps_per_dispatch = steps
     if getattr(args, "quantize", "none") == "int8":
         if aggregated:
             raise ValueError("--quantize int8 is the frame-level student path")
@@ -107,7 +122,7 @@ def inference(args):
 
         params = quantize_hierarchical_params(
             params, cfg.total_feature_size, cfg.lstm_cells, cfg.lstm_layers)
-        if max(1, getattr(args, "steps_per_dispatch", 1)) > 1:
+        if steps > 1:
             from efficientvideoclassification_youtube8m_tpu.parallel import (
                 build_sharded_eval_step_stacked,
             )
@@ -118,7 +133,7 @@ def inference(args):
         else:
             step_fn = build_sharded_quantized_eval_step(
                 cfg, mesh, params, top_k=args.top_k, host_subsampled=True)
-    elif max(1, getattr(args, "steps_per_dispatch", 1)) > 1:
+    elif steps > 1:
         from efficientvideoclassification_youtube8m_tpu.parallel import (
             build_sharded_eval_step_stacked,
         )
@@ -149,8 +164,6 @@ def inference(args):
         frame_stride=1 if aggregated else cfg.every_n,
     )
 
-    steps = max(1, getattr(args, "steps_per_dispatch", 1))
-
     def rows():
         from collections import deque
 
@@ -180,24 +193,16 @@ def inference(args):
             # identical wherever the top-k probabilities are distinct.
             def emit(packs, metas):
                 pack = np.asarray(packs)
-                fmt = None
                 for i, (vids, pad) in enumerate(metas):
                     valid = len(vids) - pad
-                    fields = distributed._unpack_host_pack(
+                    fields = distributed.unpack_host_pack(
                         pack[i, :valid], None)
-                    if fmt is None:
-                        fmt = " ".join(["%i %f"] * fields["topk_val"].shape[1])
-                    # .tolist() ONCE per batch: per-element np-scalar
-                    # access dominates the row loop otherwise (~4x)
-                    vals = fields["topk_val"].astype(np.float64).tolist()
-                    idxs = fields["topk_idx"].astype(np.int64).tolist()
                     progress(valid)
-                    for r in range(valid):
-                        vid = vids[r]
-                        if isinstance(vid, bytes):
-                            vid = vid.decode("utf-8")
-                        flat = [x for p in zip(idxs[r], vals[r]) for x in p]
-                        yield vid + "," + (fmt % tuple(flat)) + "\n"
+                    # device lax.top_k rows arrive pre-sorted; the row
+                    # format is owned by ensemble.format_ranked_lines
+                    yield from format_ranked_lines(
+                        vids[:valid], fields["topk_idx"],
+                        fields["topk_val"])
 
             def launch(bufs):
                 metas = [(b.video_ids, b.pad) for b in bufs]

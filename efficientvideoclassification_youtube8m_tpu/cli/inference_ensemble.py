@@ -50,6 +50,14 @@ def inference(args):
     head_name, head_params, head_input = load_head(args.head_checkpoint)
     head = get_model(head_name)
     logger.info("ensemble head: %s (input %d)", head_name, head_input)
+    if head_input != cfg.total_feature_size:
+        # fail with a one-liner here instead of an opaque XLA dot
+        # dimension error inside the jitted run_head
+        raise ValueError(
+            f"head checkpoint {args.head_checkpoint!r} was trained on "
+            f"input_size {head_input}, but --feature_names/"
+            f"--feature_sizes describe {cfg.total_feature_size} features"
+        )
 
     @jax.jit
     def run_head(params, features, old_predictions, num_frames):

@@ -33,9 +33,21 @@ def format_lines(video_ids: Sequence[str], predictions: np.ndarray,
     top = np.argpartition(predictions, -top_k, axis=1)[:, -top_k:]
     vals = np.take_along_axis(predictions, top, axis=1)
     order = np.argsort(-vals, axis=1, kind="stable")
-    idx_rows = np.take_along_axis(top, order, axis=1).tolist()
-    val_rows = np.take_along_axis(vals, order, axis=1).astype(np.float64).tolist()
-    fmt = " ".join(["%i %f"] * top_k)
+    idx_rows = np.take_along_axis(top, order, axis=1)
+    val_rows = np.take_along_axis(vals, order, axis=1)
+    yield from format_ranked_lines(video_ids, idx_rows, val_rows)
+
+
+def format_ranked_lines(video_ids: Sequence[str], topk_idx: np.ndarray,
+                        topk_val: np.ndarray) -> Iterator[str]:
+    """CSV rows from ALREADY-RANKED top-k pairs — the single owner of
+    the '%i %f' row format. format_lines ranks then delegates here; the
+    stacked cli.infer path feeds it the device top-k directly (its
+    lax.top_k rows arrive pre-sorted)."""
+    topk_idx = np.asarray(topk_idx)
+    idx_rows = topk_idx.astype(np.int64, copy=False).tolist()
+    val_rows = np.asarray(topk_val).astype(np.float64).tolist()
+    fmt = " ".join(["%i %f"] * topk_idx.shape[1])
     for video_index in range(len(video_ids)):
         vid = video_ids[video_index]
         if isinstance(vid, bytes):
@@ -95,7 +107,14 @@ class PredictionStore:
             if isinstance(vid, bytes):
                 vid = vid.decode("utf-8")
             for j, d in enumerate(self._dicts):
-                labels, probs = d[vid]
+                entry = d.get(vid)
+                if entry is None:
+                    raise KeyError(
+                        f"video id {vid!r} is missing from prediction "
+                        f"file {self.files[j]!r} — the K prediction CSVs "
+                        "must cover every video in the input shards "
+                        "(was that inference run truncated?)")
+                labels, probs = entry
                 out[i, j, labels] = probs
         return out
 
@@ -115,8 +134,22 @@ def max_ensemble(
     then emit the top-k. Streams over videos, so the Kaggle-scale 700640
     rows never materialize at once."""
     dicts = [read_pred_file(f) for f in pred_files]
-    video_ids = list(dicts[0].keys())
-    for vid in video_ids:
+    # the files must agree on the video universe: a silent first-file
+    # iteration would DROP ids present only in later files (an
+    # incomplete Kaggle submission) and a bare d[vid] would crash
+    # mid-stream after partial output
+    universe = set(dicts[0])
+    for f, d in zip(pred_files[1:], dicts[1:]):
+        missing = universe - set(d)
+        extra = set(d) - universe
+        if missing or extra:
+            ex = next(iter(missing or extra))
+            raise ValueError(
+                f"prediction files disagree on the video universe: "
+                f"{f!r} is {'missing' if missing else 'adding'} "
+                f"{len(missing) or len(extra)} ids (e.g. {ex!r}) vs "
+                f"{pred_files[0]!r} — was one inference run truncated?")
+    for vid in dicts[0]:
         dense = np.zeros((num_classes,), np.float32)
         for d in dicts:
             labels, probs = d[vid]

@@ -369,13 +369,19 @@ class LinearRegressionWeightedMeanEnsembleDifferenceLoss:
         mean_pred = jnp.mean(old_predictions, axis=1)
         out = out * (1 - alpha) + mean_pred * alpha
 
-        labels = labels.astype(jnp.float32)
-        loss = -(out - mean_pred) * labels + (out - mean_pred) * (1 - labels)
-        values = jax.lax.top_k(out, 20)[0][:, 19]
-        mask = (out >= values[:, None]).astype(jnp.float32)
-        loss = loss * mask
         reg = l2_penalty * l2_loss(params["weights"]["w"])
-        return {"predictions": out, "loss": loss, "regularization_loss": reg}
+        result = {"predictions": out, "regularization_loss": reg}
+        # the in-graph margin loss needs labels; inference
+        # (cli/inference_ensemble.run_head) calls without them and only
+        # reads the predictions — the reference always feeds labels
+        # because its graph is train-only (video_level_models.py:283-317)
+        if labels is not None:
+            fl = labels.astype(jnp.float32)
+            loss = -(out - mean_pred) * fl + (out - mean_pred) * (1 - fl)
+            values = jax.lax.top_k(out, 20)[0][:, 19]
+            mask = (out >= values[:, None]).astype(jnp.float32)
+            result["loss"] = loss * mask
+        return result
 
 
 @register_model("IndependentClassEnsemble")

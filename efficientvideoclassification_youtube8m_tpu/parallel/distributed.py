@@ -309,7 +309,7 @@ def _paired_k(m: int):
     return None
 
 
-def _unpack_host_pack(pack: np.ndarray, labels) -> Dict[str, Any]:
+def unpack_host_pack(pack: np.ndarray, labels) -> Dict[str, Any]:
     """Split one packed eval buffer (train/step.py:_pack_host_outputs)
     back into its fields. Self-describing across the two layouts:
       * paired — [B, k + ceil(k/2) + 2], two indices per f32 lane, SIGN
@@ -369,7 +369,7 @@ def gather_stacked_outputs(packs, metas):
     metrics are bit-identical to the per-batch loop."""
     pack = _local_rows_axis1(packs)
     for i, (labels, pad) in enumerate(metas):
-        rows, _ = gather_eval_rows(_unpack_host_pack(pack[i], labels), pad)
+        rows, _ = gather_eval_rows(unpack_host_pack(pack[i], labels), pad)
         yield rows
 
 
@@ -435,7 +435,7 @@ def gather_step_outputs(out: Dict[str, Any], labels, pad: int) -> Dict[str, np.n
     transfer and is unpacked here — fetch round trips are the eval
     loop's critical path on high-latency links."""
     if "host_pack" in out:
-        fields = _unpack_host_pack(
+        fields = unpack_host_pack(
             np.asarray(local_rows(out["host_pack"])), labels
         )
     else:

@@ -230,9 +230,7 @@ class Predictor:
                 # features arrive host-strided to every_n already
                 num_frames = student_num_frames(num_frames, cfg.every_n,
                                                 cfg.max_num_frames)
-                model_input = preprocess_batch(cfg, features_u8, num_frames)
-            else:
-                model_input = preprocess_batch(cfg, features_u8, num_frames)
+            model_input = preprocess_batch(cfg, features_u8, num_frames)
             state = state_fn(params["rnn_l1"], params["rnn_l2"],
                              model_input, num_frames)
             out = cls.apply(

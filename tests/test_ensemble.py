@@ -106,8 +106,13 @@ def test_aggregated_loader(tmp_path):
         np.testing.assert_array_equal(np.nonzero(labels)[0], np.asarray(t.labels))
 
 
-@pytest.mark.parametrize("head", ["LinearRegressionEnsemble",
-                                  "SingleHiddenLayerEnsemble"])
+@pytest.mark.parametrize("head", [
+    "LinearRegressionEnsemble",
+    "SingleHiddenLayerEnsemble",
+    # regression: this head computes an in-graph labels loss; inference
+    # calls apply without labels and must still get predictions
+    "LinearRegressionWeightedMeanEnsembleDifferenceLoss",
+])
 def test_train_and_infer_ensemble_head(tmp_path, head):
     from efficientvideoclassification_youtube8m_tpu.cli import (
         inference_ensemble as ie_cli,
@@ -157,3 +162,47 @@ def test_train_and_infer_ensemble_head(tmp_path, head):
     for vid, (labels, probs) in merged.items():
         assert len(labels) == 5
         assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_prediction_store_missing_id_message(tmp_path):
+    """An input-shard video id absent from one preds CSV fails with a
+    message naming the id AND the incomplete file, not a bare KeyError
+    mid-batch."""
+    from efficientvideoclassification_youtube8m_tpu.ensemble import (
+        PredictionStore,
+    )
+
+    rng = np.random.default_rng(0)
+    write_predictions_csv(str(tmp_path / "preds_0.csv"), format_lines(
+        ["a", "b"], rng.uniform(size=(2, VOCAB)), 3))
+    write_predictions_csv(str(tmp_path / "preds_1.csv"), format_lines(
+        ["a"], rng.uniform(size=(1, VOCAB)), 3))
+    store = PredictionStore(str(tmp_path / "preds_*.csv"), VOCAB)
+    with pytest.raises(KeyError) as e:
+        store.assemble(["a", "b"])
+    assert "preds_1.csv" in str(e.value) and "'b'" in str(e.value)
+
+
+def test_max_ensemble_universe_mismatch_fails_fast(tmp_path):
+    """Prediction CSVs that disagree on the video universe must fail
+    BEFORE any output row is emitted — a first-file iteration would
+    silently drop ids only in later files (incomplete submission) or
+    crash mid-stream on ids missing from them."""
+    from efficientvideoclassification_youtube8m_tpu.ensemble import (
+        max_ensemble,
+    )
+
+    rng = np.random.default_rng(1)
+    write_predictions_csv(str(tmp_path / "m0.csv"), format_lines(
+        ["a", "b"], rng.uniform(size=(2, VOCAB)), 3))
+    write_predictions_csv(str(tmp_path / "m1.csv"), format_lines(
+        ["a", "c"], rng.uniform(size=(2, VOCAB)), 3))
+    with pytest.raises(ValueError, match="universe"):
+        list(max_ensemble([str(tmp_path / "m0.csv"),
+                           str(tmp_path / "m1.csv")], VOCAB, 3))
+    # agreeing files still stream fine
+    write_predictions_csv(str(tmp_path / "m2.csv"), format_lines(
+        ["a", "b"], rng.uniform(size=(2, VOCAB)), 3))
+    lines = list(max_ensemble([str(tmp_path / "m0.csv"),
+                               str(tmp_path / "m2.csv")], VOCAB, 3))
+    assert len(lines) == 2

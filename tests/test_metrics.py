@@ -257,7 +257,7 @@ def test_eval_step_host_pack_paired_layout():
         words = pack[:, k:k + (k + 1) // 2]
         assert np.all(words < 0) and np.all(np.isfinite(words))
         assert np.all(np.abs(words) >= np.finfo(np.float32).tiny)
-        rows = distributed._unpack_host_pack(pack, None)
+        rows = distributed.unpack_host_pack(pack, None)
         np.testing.assert_array_equal(rows["topk_val"], np.asarray(vals))
         np.testing.assert_array_equal(rows["topk_idx"], np.asarray(idx))
         assert rows["topk_idx"].dtype == np.int32
@@ -277,7 +277,7 @@ def test_eval_step_host_pack_paired_layout():
     # wide k=3 gives 8 lanes = paired k=4's count: the non-negative
     # index lanes disambiguate (sign-bit marker absent)
     assert pack.shape == (4, 2 * 3 + 2)
-    rows = distributed._unpack_host_pack(pack, None)
+    rows = distributed.unpack_host_pack(pack, None)
     np.testing.assert_array_equal(rows["topk_idx"], np.asarray(idx))
     np.testing.assert_array_equal(rows["topk_val"], np.asarray(vals))
     np.testing.assert_array_equal(rows["per_example_loss"], np.asarray(loss))
