@@ -142,7 +142,11 @@ class FrameDataLoader:
         self.num_readers = max(1, num_readers)
         self.num_epochs = num_epochs
         self.shuffle = shuffle
-        self.shuffle_buffer = shuffle_buffer or 5 * batch_size
+        # never below batch_size: a smaller buffer would make EVERY
+        # mid-stream batch undersized (the take=min(batch, buffer) fill
+        # loop), breaking the jitted step's static shapes
+        self.shuffle_buffer = max(shuffle_buffer or 5 * batch_size,
+                                  batch_size)
         self.seed = seed
         self.pad_final_batch = pad_final_batch
         self.drop_remainder = drop_remainder
@@ -164,6 +168,10 @@ class FrameDataLoader:
             yield from self._native.read_frame_file(
                 path, self.feature_names, self.feature_sizes, self.max_frames,
                 stride=self.frame_stride,
+                # a valid record cannot carry more distinct labels than
+                # the vocabulary, so this cap can only trip on corrupt
+                # data (where the parser raises instead of truncating)
+                labels_cap=max(64, self.vocab_size),
             )
         else:
             for record in TFRecordReader(path):
@@ -193,17 +201,35 @@ class FrameDataLoader:
             yield from shard_list
             epoch += 1
 
-    def _reader_thread(self, next_file, video_q: "queue.Queue"):
-        while True:
+    @staticmethod
+    def _stoppable_put(q: "queue.Queue", item, stop: threading.Event) -> bool:
+        """put() that gives up when the consumer abandoned the stream —
+        a plain blocking put would leave the reader thread pinned on a
+        full queue (and its parsed videos in memory) for the process
+        lifetime if the iterator is dropped mid-epoch (islice/break).
+        The timeout path only engages when the queue is FULL; the
+        common non-blocking insert is unchanged."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _reader_thread(self, next_file, video_q: "queue.Queue",
+                       stop: threading.Event):
+        while not stop.is_set():
             path = next_file()
             if path is None:
-                video_q.put(_STOP)
+                self._stoppable_put(video_q, _STOP, stop)
                 return
             try:
                 for video in self._iter_file(path):
-                    video_q.put(video)
+                    if not self._stoppable_put(video_q, video, stop):
+                        return
             except Exception as e:  # surface loader errors to the consumer
-                video_q.put(e)
+                self._stoppable_put(video_q, e, stop)
                 return
 
     def _videos_workstealing(self, file_rng) -> Iterator[yt8m.FrameVideo]:
@@ -215,6 +241,7 @@ class FrameDataLoader:
         video_q: "queue.Queue" = queue.Queue(maxsize=max(50 * self.batch_size, 256))
         file_iter = self._file_stream(file_rng)
         file_lock = threading.Lock()
+        stop = threading.Event()
 
         def next_file():
             with file_lock:
@@ -222,21 +249,25 @@ class FrameDataLoader:
 
         threads = [
             threading.Thread(
-                target=self._reader_thread, args=(next_file, video_q), daemon=True
+                target=self._reader_thread, args=(next_file, video_q, stop),
+                daemon=True,
             )
             for _ in range(self.num_readers)
         ]
         for t in threads:
             t.start()
-        finished_readers = 0
-        while finished_readers < len(threads):
-            item = video_q.get()
-            if item is _STOP:
-                finished_readers += 1
-            elif isinstance(item, Exception):
-                raise item
-            else:
-                yield item
+        try:
+            finished_readers = 0
+            while finished_readers < len(threads):
+                item = video_q.get()
+                if item is _STOP:
+                    finished_readers += 1
+                elif isinstance(item, Exception):
+                    raise item
+                else:
+                    yield item
+        finally:
+            stop.set()  # unwind blocked readers if the consumer bailed
 
     def _videos_deterministic(self, file_rng) -> Iterator[yt8m.FrameVideo]:
         """Deterministic multi-reader stream (`deterministic=True`):
@@ -251,25 +282,37 @@ class FrameDataLoader:
             queue.Queue(maxsize=max((50 * self.batch_size) // R, 64))
             for _ in range(R)
         ]
+        stop = threading.Event()
 
         def dispatcher():
             for i, path in enumerate(self._file_stream(file_rng)):
-                file_qs[i % R].put(path)
+                if not self._stoppable_put(file_qs[i % R], path, stop):
+                    return
             for q in file_qs:
-                q.put(None)
+                self._stoppable_put(q, None, stop)
+
+        def _stoppable_get(q):
+            while not stop.is_set():
+                try:
+                    return q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            return None
 
         def reader(r):
-            while True:
-                path = file_qs[r].get()
+            while not stop.is_set():
+                path = _stoppable_get(file_qs[r])
                 if path is None:
-                    video_qs[r].put(_STREAM_END)
+                    self._stoppable_put(video_qs[r], _STREAM_END, stop)
                     return
                 try:
                     for v in self._iter_file(path):
-                        video_qs[r].put(v)
-                    video_qs[r].put(_FILE_END)
+                        if not self._stoppable_put(video_qs[r], v, stop):
+                            return
+                    if not self._stoppable_put(video_qs[r], _FILE_END, stop):
+                        return
                 except Exception as e:  # surfaced when the drain reaches it
-                    video_qs[r].put(e)
+                    self._stoppable_put(video_qs[r], e, stop)
                     return
 
         threads = [threading.Thread(target=dispatcher, daemon=True)] + [
@@ -278,19 +321,22 @@ class FrameDataLoader:
         ]
         for t in threads:
             t.start()
-        k = 0  # global file index being drained
-        while True:
-            q = video_qs[k % R]
+        try:
+            k = 0  # global file index being drained
             while True:
-                item = q.get()
-                if item is _FILE_END:
-                    break
-                if item is _STREAM_END:
-                    return
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-            k += 1
+                q = video_qs[k % R]
+                while True:
+                    item = q.get()
+                    if item is _FILE_END:
+                        break
+                    if item is _STREAM_END:
+                        return
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+                k += 1
+        finally:
+            stop.set()  # unwind blocked readers if the consumer bailed
 
     def __iter__(self) -> Iterator[FrameBatch]:
         # distinct Random instances: the file stream's is advanced inside
@@ -310,7 +356,18 @@ class FrameDataLoader:
                 self.shuffle_buffer if self.shuffle else self.batch_size
             ):
                 try:
-                    buffer.append(next(videos))
+                    v = next(videos)
+                    if self.shuffle and v.features.base is not None:
+                        # own the bytes before they sit in the shuffle
+                        # buffer: the native parser yields VIEWS into
+                        # whole 32-video parse blocks, and random
+                        # eviction leaves straggler videos pinning
+                        # entire blocks (multi-GB host RSS at flagship
+                        # batch/buffer sizes). FIFO (no-shuffle) drains
+                        # blocks promptly and keeps zero-copy.
+                        v = dataclasses.replace(v,
+                                                features=v.features.copy())
+                    buffer.append(v)
                 except StopIteration:
                     exhausted = True
             if not buffer:

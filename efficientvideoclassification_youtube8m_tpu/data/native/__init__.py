@@ -24,34 +24,49 @@ _SRC_HEAP = os.path.join(_DIR, "heap.cc")
 _SO = os.path.join(_DIR, "libyt8m_io.so")
 
 _lib = None
+_build_failed = False  # negative cache: one compile attempt per process
 _lock = threading.Lock()
 _ID_CAP = 256
 
 
 def _build() -> bool:
+    # compile to a process-unique temp path and os.replace() into place:
+    # concurrent PROCESSES (the in-process _lock can't see them — e.g.
+    # the 2-process multi-host run, or several CLIs launched together)
+    # would otherwise race g++ on the same output file and CDLL() a
+    # half-written .so
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         # no FMA contraction: the AP sweep (heap.cc) must reproduce the
         # Python float op sequence bit-for-bit (mul+add contracted into
         # fma rounds once instead of twice)
         "-ffp-contract=off",
-        _SRC, _SRC_HEAP, "-o", _SO,
+        _SRC, _SRC_HEAP, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)  # atomic on POSIX
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
 def _load():
-    global _lib
+    global _lib, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
+        if _build_failed:
+            return None  # don't re-run a multi-second compile per loader
         src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_HEAP))
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
             if not _build():
+                _build_failed = True
                 return None
         lib = ctypes.CDLL(_SO)
         lib.yt8m_open.restype = ctypes.c_void_p
@@ -235,6 +250,15 @@ def read_frame_file(
                 )
             for i in range(n):
                 vid = ids.raw[i * _ID_CAP : (i + 1) * _ID_CAP].split(b"\0", 1)[0]
+                if num_labels[i] > labels_cap:
+                    # the C parser reports the TRUE count but stores only
+                    # the first labels_cap — refusing beats silently
+                    # diverging from the pure-Python parser
+                    raise IOError(
+                        f"record in {path} has {int(num_labels[i])} "
+                        f"labels > labels_cap {labels_cap}; pass a "
+                        "larger labels_cap (the loader sizes it to the "
+                        "vocabulary)")
                 yield FrameVideo(
                     video_id=vid.decode("utf-8", "replace"),
                     labels=labels[i, : num_labels[i]].tolist(),

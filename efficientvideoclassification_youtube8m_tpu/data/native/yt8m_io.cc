@@ -443,9 +443,16 @@ int32_t yt8m_next(Yt8mReader* r, uint8_t* feat_out, int32_t* num_frames_out,
     memset(feat_out + size_t(kept) * r->total_size, 0,
            size_t(r->out_rows - kept) * r->total_size);
 
+  // nl counts ALL labels; only the first labels_cap are stored. The
+  // Python side raises when nl > labels_cap — silent truncation would
+  // diverge from the pure-Python parser (which keeps every label), and
+  // the loader sizes the cap to the vocabulary so valid records never
+  // overflow.
   int32_t nl = 0;
-  for (int64_t l : labels)
-    if (nl < labels_cap) labels_out[nl++] = int32_t(l);
+  for (int64_t l : labels) {
+    if (nl < labels_cap) labels_out[nl] = int32_t(l);
+    nl++;
+  }
   *num_labels_out = nl;
 
   int32_t idn = int32_t(video_id.n);

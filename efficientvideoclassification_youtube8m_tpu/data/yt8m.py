@@ -54,7 +54,9 @@ def parse_frame_record(
     context, feature_lists = proto.decode_sequence_example(record)
 
     kind, vals = context.get("id", ("bytes", [b""]))
-    video_id = vals[0].decode("utf-8") if vals else ""
+    # errors="replace" like the native parser: a corrupt id must not
+    # kill the epoch on one path while the other continues
+    video_id = vals[0].decode("utf-8", "replace") if vals else ""
     _, label_vals = context.get("labels", ("int64", []))
     labels = [int(v) for v in label_vals]
 
@@ -119,7 +121,16 @@ def parse_aggregated_record(
     parts = []
     for name, size in zip(feature_names, feature_sizes):
         _, vals = features_map.get(name, ("float", [0.0] * size))
-        parts.append(np.asarray(vals, np.float32))
+        arr = np.asarray(vals, np.float32)
+        if arr.shape[0] != size:
+            # validate PER FEATURE: wrong lengths that happen to sum to
+            # the total would otherwise concatenate into silently
+            # misaligned columns (audio bytes in rgb positions)
+            raise IOError(
+                f"aggregated record {video_id!r}: feature {name!r} has "
+                f"{arr.shape[0]} values, expected {size} "
+                "(--feature_names/--feature_sizes mismatch?)")
+        parts.append(arr)
     return AggregatedVideo(
         video_id, [int(v) for v in label_vals], np.concatenate(parts)
     )

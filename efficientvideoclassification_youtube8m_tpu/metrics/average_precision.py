@@ -39,8 +39,11 @@ def _native_perm_ok(native) -> bool:
     if _PERM_VALIDATED[0] is None:
         ok = True
         for n in (0, 1, 2, 7, 33, 1000):
-            random.seed(0)
-            if random.sample(range(n), n) != list(native.sample_perm(n)):
+            # a PRIVATE Random(0): same MT19937 stream as seed(0) on the
+            # global instance, without perturbing the process-global RNG
+            # (the module's own no-side-effect contract, see _shuffle)
+            if (random.Random(0).sample(range(n), n)
+                    != list(native.sample_perm(n))):
                 ok = False
                 break
         _PERM_VALIDATED[0] = ok

@@ -398,3 +398,132 @@ def test_dequantize_bit_identical_formula():
             + (np.float32(4.0 / 512.0) - np.float32(2.0)))
     np.testing.assert_array_equal(got, want)
     assert got.dtype == np.float32
+
+
+def test_native_parser_many_labels_parity_and_overflow(tmp_path):
+    """A record with more labels than the old 64 cap: the native parser
+    must return ALL of them (parity with the pure-Python parser — the
+    loader sizes labels_cap to the vocabulary), and an explicitly tiny
+    cap must RAISE instead of silently truncating."""
+    from efficientvideoclassification_youtube8m_tpu.data import native
+    from efficientvideoclassification_youtube8m_tpu.data.loader import (
+        FrameDataLoader,
+    )
+    from efficientvideoclassification_youtube8m_tpu.data.tfrecord import (
+        TFRecordWriter,
+    )
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    many = sorted(rng.choice(200, size=100, replace=False).tolist())
+    feats = rng.integers(0, 256, size=(5, 12), dtype=np.uint8)
+    path = str(tmp_path / "many-0000.tfrecord")
+    with TFRecordWriter(path) as w:
+        w.write(encode_frame_record("v0", many, feats,
+                                    feature_names=("rgb", "audio"),
+                                    feature_sizes=(8, 4)))
+
+    got = list(native.read_frame_file(
+        path, ("rgb", "audio"), (8, 4), max_frames=10, labels_cap=200))
+    assert sorted(got[0].labels) == many  # nothing dropped
+
+    with pytest.raises(IOError, match="labels_cap"):
+        list(native.read_frame_file(
+            path, ("rgb", "audio"), (8, 4), max_frames=10, labels_cap=64))
+
+    # the loader path end-to-end: vocab-sized cap, full label row
+    loader = FrameDataLoader(
+        str(tmp_path / "many-*.tfrecord"), batch_size=1,
+        feature_names=("rgb", "audio"), feature_sizes=(8, 4),
+        max_frames=10, vocab_size=200, num_epochs=1, shuffle=False,
+        num_readers=1)
+    batch = next(iter(loader))
+    assert int(batch.labels[0].sum()) == 100
+
+
+def test_aggregated_misaligned_feature_lengths_raise():
+    """Per-feature value counts are validated: wrong lengths that happen
+    to sum to the total would otherwise concatenate into silently
+    misaligned columns."""
+    from efficientvideoclassification_youtube8m_tpu.data.yt8m import (
+        encode_aggregated_record,
+        parse_aggregated_record,
+    )
+
+    rng = np.random.default_rng(1)
+    # encode with sizes (10, 2) but parse expecting (8, 4): same total
+    buf = encode_aggregated_record(
+        "v", [1], rng.normal(size=12).astype(np.float32),
+        feature_names=("mean_rgb", "mean_audio"), feature_sizes=(10, 2))
+    with pytest.raises(IOError, match="mean_rgb"):
+        parse_aggregated_record(buf, ("mean_rgb", "mean_audio"), (8, 4))
+
+
+def test_shuffle_buffer_smaller_than_batch_is_clamped(shard_dir):
+    """shuffle_buffer < batch_size must not produce undersized batches
+    mid-stream (the jitted step's shapes are static)."""
+    from efficientvideoclassification_youtube8m_tpu.data.loader import (
+        FrameDataLoader,
+    )
+
+    d, _ = shard_dir
+    loader = FrameDataLoader(
+        str(d / "train-*.tfrecord"), batch_size=8,
+        feature_names=("rgb", "audio"), feature_sizes=(6, 2),
+        max_frames=20, vocab_size=40, num_epochs=1, shuffle=True,
+        shuffle_buffer=2, num_readers=1, seed=7)
+    sizes = [b.features.shape[0] - b.pad for b in loader]
+    assert all(s == 8 for s in sizes[:-1]), sizes  # only the tail short
+
+
+def test_abandoned_loader_iterator_unwinds_reader_threads(shard_dir):
+    """Dropping a loader iterator mid-epoch must not leave reader
+    threads parked on a full queue pinning parsed videos for the
+    process lifetime."""
+    import threading
+    import time as _time
+
+    from efficientvideoclassification_youtube8m_tpu.data.loader import (
+        FrameDataLoader,
+    )
+
+    d, _ = shard_dir
+    baseline = threading.active_count()
+    for deterministic in (False, True):
+        loader = FrameDataLoader(
+            str(d / "train-*.tfrecord"), batch_size=2,
+            feature_names=("rgb", "audio"), feature_sizes=(6, 2),
+            max_frames=20, vocab_size=40, num_epochs=None,  # infinite
+            shuffle=False, num_readers=2, deterministic=deterministic)
+        it = iter(loader)
+        next(it)
+        assert threading.active_count() > baseline
+        it.close()  # GeneratorExit -> stop event -> readers drain out
+        del it, loader
+        deadline = _time.time() + 10
+        while threading.active_count() > baseline and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert threading.active_count() == baseline, (
+            deterministic, threading.active_count(), baseline)
+
+
+def test_native_perm_validator_leaves_global_rng_alone():
+    """The one-time C-permutation self-check must not perturb the
+    process-global random module state (the module's own contract)."""
+    import random
+
+    from efficientvideoclassification_youtube8m_tpu.data import native
+    from efficientvideoclassification_youtube8m_tpu.metrics import (
+        average_precision as ap,
+    )
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    random.seed(123)
+    want = [random.random() for _ in range(4)]
+    random.seed(123)
+    ap._PERM_VALIDATED[0] = None  # force the validator to re-run
+    assert ap._native_perm_ok(native)
+    got = [random.random() for _ in range(4)]
+    assert got == want

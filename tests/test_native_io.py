@@ -230,8 +230,11 @@ def test_native_crc_verification_catches_payload_flip(shard, tmp_path):
 
 def test_native_label_count_bounded(tmp_path):
     """A record packing an absurd number of int64 labels must not
-    balloon memory: entries past the parser's bound are dropped (real
-    labels fit in 4716 classes; consumers truncate to labels_cap)."""
+    balloon memory OR silently truncate (truncation would diverge from
+    the pure-Python parser): the parser reports the true count and the
+    binding raises IOError when it exceeds labels_cap (r5 — no real
+    video carries more distinct labels than the vocabulary; the loader
+    sizes the cap accordingly)."""
     from efficientvideoclassification_youtube8m_tpu.data.tfrecord import (
         TFRecordWriter,
     )
@@ -243,7 +246,7 @@ def test_native_label_count_bounded(tmp_path):
     rec = encode_frame_record("v0", [0, 1, 2], feats,
                               feature_names=("rgb", "audio"),
                               feature_sizes=(16, 4))
-    # a record carrying 200k int64 labels (well past the parser's bound)
+    # a record carrying 200k int64 labels (well past any real vocab)
     rec_many = encode_frame_record("vbig", [1] * 200_000, feats,
                                    feature_names=("rgb", "audio"),
                                    feature_sizes=(16, 4))
@@ -251,7 +254,11 @@ def test_native_label_count_bounded(tmp_path):
     with TFRecordWriter(p) as w:
         w.write(rec_many)
         w.write(rec)
-    videos = _drain_native(p)
-    assert len(videos) == 2
-    assert len(videos[0].labels) <= 1 << 16
-    assert videos[1].labels == [0, 1, 2]
+    with pytest.raises(IOError, match="labels_cap"):
+        _drain_native(p)
+    # a clean shard with the same features still parses fine
+    p2 = str(tmp_path / "ok.tfrecord")
+    with TFRecordWriter(p2) as w:
+        w.write(rec)
+    videos = _drain_native(p2)
+    assert len(videos) == 1 and videos[0].labels == [0, 1, 2]
