@@ -32,13 +32,10 @@ logger = logging.getLogger("finetune")
 
 
 def finetune(args):
-    import jax
-
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_finetune_step,
         build_shardmap_finetune_step,
         create_mesh,
-        device_prefetch,
         distributed,
         place_state,
     )
@@ -124,12 +121,10 @@ def finetune(args):
         frame_stride=1 if aggregated else cfg.every_n,
     )
     writer = summary_lib.for_master(cfg.train_dir, host.is_master)
-    last_save = time.time()
-    last_summary = time.time()
     start_time = time.time()
     logger.info("Entering training loop.")
 
-    def write_graph_summaries(metrics, global_step_val):
+    def write_graph_summaries(metrics, global_step_val, cur_state):
         """In-graph scalars (train_finetune.py:229,285,297,322) + one
         histogram per student variable, at save_summaries_secs cadence."""
         writer.scalar("learning_rate", float(metrics["learning_rate"]),
@@ -139,15 +134,19 @@ def finetune(args):
         writer.scalar("student_reg_loss",
                       float(metrics["student_reg_loss"]), global_step_val)
         summary_lib.write_variable_histograms(
-            writer, state.params_student, "model_student", global_step_val)
+            writer, cur_state.params_student, "model_student",
+            global_step_val)
         writer.flush()
 
     def log_step(metrics, labels, seconds_per_batch):
         global_step_val = int(metrics["global_step"])
-        # multi-host: this process's rows only (per-worker logging)
+        # multi-host: this process's rows only (per-worker logging).
+        # PERR is the exact full-row device precision, like cli.train
         info = train_step_metrics(distributed.local_rows(metrics["topk_val"]),
                                   distributed.local_rows(metrics["topk_idx"]),
-                                  labels)
+                                  labels,
+                                  perr_precision=distributed.local_rows(
+                                      metrics["perr_precision"]))
         logger.info(
             "training step %d| Hit@1: %.2f| PERR: %.2f| GAP: %.2f| L_CE: %s",
             global_step_val, info["hit_at_one"], info["perr"], info["gap"],
@@ -162,39 +161,15 @@ def finetune(args):
         writer.flush()
 
     saver = AsyncCheckpointSaver(enabled=args.async_checkpoint)
-    # one-step-lagged logging: the metric fetch overlaps device compute;
-    # device_prefetch overlaps the next batch's H2D with this step
-    pending = None
-    for (f, l, n), host_labels in device_prefetch(
-            distributed.sync_host_streams(loader, "train"), mesh):
-        batch_start_time = time.time()
-        state, metrics = step_fn(state, f, l, n)
-        if pending is not None:
-            log_step(pending[0], pending[1], batch_start_time - pending[2])
-            # master-decided cadences (collective summary/save steps)
-            if distributed.broadcast_flag(
-                    time.time() - last_summary > args.save_summaries_secs):
-                write_graph_summaries(pending[0], int(pending[0]["global_step"]))
-                last_summary = time.time()
-        pending = (metrics, host_labels, batch_start_time)
-        if distributed.broadcast_flag(
-                time.time() - last_save > args.save_model_secs):
-            # snapshot named with the step stored IN the saved state.
-            # EVERY process calls save (orbax saves are collective); it
-            # writes master-only where needed. Async: the fetch+write
-            # overlaps the next steps (sync fallback for orbax/multi-host).
-            saver.save(cfg.train_dir, state,
-                       int(jax.device_get(state.global_step)),
-                       backend=args.checkpoint_format)
-            last_save = time.time()
-    if pending is not None:
-        log_step(pending[0], pending[1], time.time() - pending[2])
-    logger.info("Done training -- epoch limit reached.")
-    saver.save(cfg.train_dir, state,
-               int(jax.device_get(state.global_step)),
-               backend=args.checkpoint_format)
-    saver.wait()  # the final snapshot must be on disk before exit
-    writer.close()
+    from efficientvideoclassification_youtube8m_tpu.cli.loop import (
+        run_training_loop,
+    )
+
+    run_training_loop(
+        loader=loader, mesh=mesh, state=state, step_fn=step_fn, saver=saver,
+        writer=writer, cfg=cfg, args=args, log_step=log_step,
+        write_graph_summaries=write_graph_summaries, logger=logger,
+    )
     print("Total time taken is " + str(time.time() - start_time))
 
 

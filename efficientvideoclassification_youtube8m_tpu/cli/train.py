@@ -30,13 +30,10 @@ logger = logging.getLogger("train")
 
 
 def train(args) -> None:
-    import jax
-
     from efficientvideoclassification_youtube8m_tpu.parallel import (
         build_sharded_distill_step,
         build_shardmap_distill_step,
         create_mesh,
-        device_prefetch,
         distributed,
         place_state,
     )
@@ -123,11 +120,9 @@ def train(args) -> None:
     writer = summary_lib.for_master(cfg.train_dir, host.is_master)
     saver = AsyncCheckpointSaver(enabled=args.async_checkpoint)
     start_time = time.time()
-    last_save = time.time()
-    last_summary = time.time()
     logger.info("%s: Entering training loop.", task_str)
 
-    def write_graph_summaries(metrics, global_step_val):
+    def write_graph_summaries(metrics, global_step_val, cur_state):
         """The reference's in-graph summaries, emitted at the Supervisor's
         save_summaries_secs cadence (train.py:238-239,298,363,373,426-427):
         LR + loss scalars and one histogram per model variable."""
@@ -144,9 +139,10 @@ def train(args) -> None:
         writer.scalar("student_label_loss",
                       float(metrics["student_label_loss"]), global_step_val)
         summary_lib.write_variable_histograms(
-            writer, state.params_teacher, "model", global_step_val)
+            writer, cur_state.params_teacher, "model", global_step_val)
         summary_lib.write_variable_histograms(
-            writer, state.params_student, "model_student", global_step_val)
+            writer, cur_state.params_student, "model_student",
+            global_step_val)
         writer.flush()
 
     def log_step(metrics, labels, seconds_per_batch):
@@ -186,51 +182,15 @@ def train(args) -> None:
                       global_step_val)
         writer.flush()
 
-    # One-step-lagged logging: step N's metric fetch (a device sync)
-    # happens AFTER step N+1 is dispatched, so host metric/log work
-    # overlaps device compute instead of serializing with it.
-    pending = None  # (metrics, labels, batch_start_time)
-    try:
-        # device_prefetch issues batch k+1's (async) H2D while batch k's
-        # step computes — double-buffering the host->device edge.
-        # sync_host_streams keeps multi-host step counts aligned.
-        for (f, l, n), host_labels in device_prefetch(
-                distributed.sync_host_streams(loader, "train"), mesh):
-            batch_start_time = time.time()
-            state, metrics = step_fn(state, f, l, n)
-            if pending is not None:
-                log_step(pending[0], pending[1],
-                         batch_start_time - pending[2])
-                # master decides cadences; broadcast keeps every host in
-                # the same (collective) summary/save step
-                if distributed.broadcast_flag(
-                        time.time() - last_summary > args.save_summaries_secs):
-                    write_graph_summaries(pending[0], int(pending[0]["global_step"]))
-                    last_summary = time.time()
-            pending = (metrics, host_labels, batch_start_time)
-            if distributed.broadcast_flag(
-                    time.time() - last_save > args.save_model_secs):
-                # name the snapshot with the step stored IN the saved
-                # state (the reference's Saver uses the graph's own
-                # global_step, train.py:502) — not the lagged log step.
-                # EVERY process calls save (the orbax backend is a
-                # collective); it writes master-only where needed. The
-                # async saver overlaps the fetch+write with the next
-                # steps (sync fallback for orbax/multi-host).
-                saver.save(cfg.train_dir, state,
-                           int(jax.device_get(state.global_step)),
-                           backend=args.checkpoint_format)
-                last_save = time.time()
-        if pending is not None:
-            log_step(pending[0], pending[1], time.time() - pending[2])
-    except KeyboardInterrupt:
-        logger.info("Interrupted; saving checkpoint.")
-    logger.info("Done training -- epoch limit reached.")
-    saver.save(cfg.train_dir, state,
-               int(jax.device_get(state.global_step)),
-               backend=args.checkpoint_format)
-    saver.wait()  # the final snapshot must be on disk before exit
-    writer.close()
+    from efficientvideoclassification_youtube8m_tpu.cli.loop import (
+        run_training_loop,
+    )
+
+    run_training_loop(
+        loader=loader, mesh=mesh, state=state, step_fn=step_fn, saver=saver,
+        writer=writer, cfg=cfg, args=args, log_step=log_step,
+        write_graph_summaries=write_graph_summaries, logger=logger,
+    )
     print("Total time taken is " + str(time.time() - start_time))
 
 

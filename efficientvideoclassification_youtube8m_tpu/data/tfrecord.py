@@ -144,6 +144,9 @@ class TFRecordWriter:
         self._f.write(data)
         self._f.write(struct.pack("<I", masked_crc32c(data)))
 
+    def flush(self):
+        self._f.flush()
+
     def close(self):
         self._f.close()
 

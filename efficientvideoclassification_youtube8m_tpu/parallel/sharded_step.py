@@ -140,7 +140,8 @@ def build_sharded_finetune_step(
     return jax.jit(
         step,
         in_shardings=(st_shard, fs, ls, ns),
-        out_shardings=(st_shard, _train_metric_shardings(mesh, _FINETUNE_SCALARS)),
+        out_shardings=(st_shard, _train_metric_shardings(
+            mesh, _FINETUNE_SCALARS, with_perr=True)),
         donate_argnums=(0,),
     )
 
@@ -385,7 +386,7 @@ def build_shardmap_finetune_step(
                                pallas_train_mode=pallas_train_mode)
     return _shardmap_train(
         step, mesh, ("student_label_loss", "student_reg_loss"),
-        feature_ndim=2 if aggregated else 3,
+        feature_ndim=2 if aggregated else 3, with_perr=True,
     )
 
 

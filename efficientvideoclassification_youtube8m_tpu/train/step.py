@@ -597,7 +597,20 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
             opt_student=new_os,
             global_step=state.global_step + 1,
         )
-        topk_val, topk_idx = jax.lax.top_k(preds, top_k)
+        # exact full-row PERR like the distill step (the top-k
+        # approximation deviates for >top_k-label videos); on TPU the
+        # one-sort fusion computes both
+        from efficientvideoclassification_youtube8m_tpu.metrics.eval_util import (
+            perr_precision_on_device,
+            topk_and_perr_on_device,
+        )
+
+        if jax.default_backend() == "tpu":
+            topk_val, topk_idx, perr = topk_and_perr_on_device(
+                preds, labels, top_k)
+        else:
+            topk_val, topk_idx = jax.lax.top_k(preds, top_k)
+            perr = perr_precision_on_device(preds, labels)
         metrics = {
             "student_label_loss": label_loss,
             "student_reg_loss": reg,
@@ -605,6 +618,7 @@ def build_finetune_step(cfg: TrainConfig, optimizer: Optimizer, top_k: int = 20,
             "global_step": new_state.global_step,
             "topk_val": topk_val,
             "topk_idx": topk_idx,
+            "perr_precision": perr,
         }
         return new_state, metrics
 

@@ -170,8 +170,11 @@ def histogram_stats_on_device(leaf):
             idx = jnp.clip(
                 jnp.searchsorted(limits, x, side="left"), 0, limits.shape[0] - 1
             )
-            counts = jnp.zeros((limits.shape[0],), jnp.float32).at[idx].add(
-                finite.astype(jnp.float32)
+            # int32 counts: an f32 accumulator silently saturates at
+            # 2^24 per bucket (16777216.0 + 1.0 == 16777216.0), which a
+            # >16.7M-element near-constant leaf can reach
+            counts = jnp.zeros((limits.shape[0],), jnp.int32).at[idx].add(
+                finite.astype(jnp.int32)
             )
             return (num, vmin, vmax, jnp.sum(xf), jnp.sum(xf * xf), counts)
 
@@ -217,7 +220,7 @@ class SummaryWriter:
         self.add_summary(make_histogram(tag, values), global_step)
 
     def flush(self):
-        self._writer._f.flush()
+        self._writer.flush()
 
     def close(self):
         self._writer.close()
@@ -263,14 +266,25 @@ def write_variable_histograms(
     import jax
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    named = []
     for path, leaf in flat:
         name = prefix + "/" + "/".join(
             str(getattr(k, "key", getattr(k, "idx", k))) for k in path
         )
-        if isinstance(leaf, jax.Array):
-            num, vmin, vmax, vsum, sumsq, counts = jax.device_get(
-                histogram_stats_on_device(leaf)
-            )
+        named.append((name, leaf))
+    # dispatch every leaf's on-device reduction FIRST, then fetch them
+    # in ONE device_get: a per-leaf blocking fetch costs one full
+    # dispatch round trip per variable (~30ms each through the sandbox
+    # relay — seconds per summary tick over a distill tower set)
+    pending = [
+        (name, histogram_stats_on_device(leaf))
+        for name, leaf in named if isinstance(leaf, jax.Array)
+    ]
+    fetched = dict(zip((n for n, _ in pending),
+                       jax.device_get([s for _, s in pending])))
+    for name, leaf in named:
+        if name in fetched:
+            num, vmin, vmax, vsum, sumsq, counts = fetched[name]
             writer.add_summary(
                 make_histogram_from_stats(
                     name, float(num),
