@@ -113,7 +113,7 @@ def evaluation_loop(cfg, args, params_student, global_step_val, step_fn, mesh,
                 distributed.sync_host_streams(loader, "eval"),
                 mesh, host_keep=lambda b: (b.labels, b.pad)):
             ring.append((step_fn(params_student, f, l, n), labels, pad))
-            if len(ring) >= depth:
+            if len(ring) > depth:
                 drain(*ring.popleft())
         while ring:
             drain(*ring.popleft())

@@ -225,7 +225,7 @@ def inference(args):
                                       batch.num_frames)
                 ring.append(
                     (step_fn(params, f, l, n), batch.video_ids, batch.pad))
-                if len(ring) >= depth:
+                if len(ring) > depth:
                     yield from emit(*ring.popleft())
             while ring:
                 yield from emit(*ring.popleft())

@@ -113,7 +113,7 @@ def evaluation_loop(cfg, args, state, step_fn, mesh, writer, checkpoint_path,
             ring.append(
                 (step_fn(state.params_teacher, state.params_student, f, l, n),
                  labels, pad))
-            if len(ring) >= depth:
+            if len(ring) > depth:
                 drain(*ring.popleft())
         while ring:
             drain(*ring.popleft())

@@ -105,10 +105,15 @@ def pwe_loss(predictions, labels, faithful_quirks=False, **_):
         float_labels = jnp.reshape(float_labels, (128, float_labels.shape[-1]))
 
     def per_example(p, lab):
-        pn_pairs = p[:, None] * (1.0 - p)[None, :]
-        opon_pairs = lab[:, None] - lab[None, :]
-        inside = pn_pairs * jnp.exp(-opon_pairs)
-        return jnp.sum(inside) / (jnp.sum(p) * jnp.sum(1.0 - p))
+        # the factorized O(V) form the docstring describes:
+        # sum_{a,b} p_a (1-p_b) e^{-(l_a - l_b)}
+        #   = (sum_a p_a e^{-l_a}) * (sum_b (1-p_b) e^{l_b})
+        # — identical math to the [V, V] matrix sum (gradient parity vs
+        # the literal-matrix transcription pinned in tests/test_losses),
+        # without the ~22M-element pairwise product per example
+        a = jnp.sum(p * jnp.exp(-lab))
+        b = jnp.sum((1.0 - p) * jnp.exp(lab))
+        return a * b / (jnp.sum(p) * jnp.sum(1.0 - p))
 
     per = jax.vmap(per_example)(predictions, float_labels)
     return jnp.sum(per) / predictions.shape[0]
@@ -207,7 +212,12 @@ def prediction_kl_loss(teacher_predictions, student_predictions,
     representable probability of interest, so normal values are
     bit-unchanged."""
     t = jax.lax.stop_gradient(teacher_predictions)
-    t = t / jnp.sum(t, axis=1, keepdims=True)
-    s = student_predictions / jnp.sum(student_predictions, axis=1, keepdims=True)
+    # guard the normalizers too: a row where EVERY class underflowed to
+    # 0.0 would otherwise renormalize as 0/0 = NaN before the log guard
+    # applies; any nonzero sum exceeds epsilon so normal rows are
+    # bit-unchanged
+    t = t / jnp.maximum(jnp.sum(t, axis=1, keepdims=True), epsilon)
+    s = student_predictions / jnp.maximum(
+        jnp.sum(student_predictions, axis=1, keepdims=True), epsilon)
     kl = jnp.sum(t * (jnp.log(t + epsilon) - jnp.log(s + epsilon)), axis=1)
     return jnp.sum(kl)

@@ -143,14 +143,20 @@ def local_rows(x) -> np.ndarray:
     the per-step train logging can stay host-local (the reference logs
     per-worker metrics too) with zero cross-host traffic.
     """
+    return _local_shards_along(x, axis=0)
+
+
+def _local_shards_along(x, axis: int) -> np.ndarray:
+    """Shared addressable-shard assembly for batch axes 0 (per-batch
+    outputs) and 1 (stacked [K, B, ...] packs)."""
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
     parts: Dict[int, np.ndarray] = {}
     for shard in x.addressable_shards:
-        start = shard.index[0].start or 0
-        if start not in parts:  # model-axis replicas carry the same rows
+        start = shard.index[axis].start or 0
+        if start not in parts:  # replicas on other axes carry the same rows
             parts[start] = np.asarray(shard.data)
-    return np.concatenate([parts[k] for k in sorted(parts)], axis=0)
+    return np.concatenate([parts[k] for k in sorted(parts)], axis=axis)
 
 
 def sync_host_streams(loader, mode: str = "train"):
@@ -346,14 +352,7 @@ def _local_rows_axis1(x) -> np.ndarray:
     """This host's rows of a [K, B, ...] stack whose BATCH axis (1) is
     sharded over the data axis — `local_rows`' contract shifted one
     axis right (the stacked eval program's output layout)."""
-    if getattr(x, "is_fully_addressable", True):
-        return np.asarray(x)
-    parts: Dict[int, np.ndarray] = {}
-    for shard in x.addressable_shards:
-        start = shard.index[1].start or 0
-        if start not in parts:  # model-axis replicas carry the same rows
-            parts[start] = np.asarray(shard.data)
-    return np.concatenate([parts[k] for k in sorted(parts)], axis=1)
+    return _local_shards_along(x, axis=1)
 
 
 def gather_stacked_outputs(packs, metas):
@@ -396,7 +395,8 @@ def stack_batches(mesh, bufs, steps: int, dummy_labels=None):
         labs += [np.zeros_like(labs[0])] * (steps - len(bufs))
         labs = np.stack(labs)
     else:
-        labs = np.zeros((steps,) + dummy_labels.shape, dummy_labels.dtype)
+        labs = np.ascontiguousarray(np.broadcast_to(
+            dummy_labels, (steps,) + dummy_labels.shape))
     return shard_stacked_batch(mesh, np.stack(feats), labs, np.stack(nfs))
 
 
@@ -417,7 +417,10 @@ def stacked_ring(batches, steps: int, depth: int, launch):
         if len(buf) == steps:
             ring.append(launch(buf))
             buf = []
-            if len(ring) >= depth:
+            # pop only when MORE than `depth` are in flight: `>=` kept
+            # depth-1 launches outstanding (depth=1 degenerated to a
+            # fully synchronous loop) — device_prefetch's convention
+            if len(ring) > depth:
                 yield ring.popleft()
     if buf:
         ring.append(launch(buf))

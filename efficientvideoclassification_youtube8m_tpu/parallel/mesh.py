@@ -50,13 +50,23 @@ def create_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def _is_tp_shardable(path_leaf_name: str, x, model_size: int, min_dim: int) -> bool:
+def _is_tp_shardable(x, model_size: int, min_dim: int) -> bool:
     if not hasattr(x, "ndim"):
         return False
     if x.ndim == 0:
         return False
     d = x.shape[-1]
     return d >= min_dim and d % model_size == 0
+
+
+def _tp_spec(x, model_size: int, min_dim: int):
+    """The column-sharding rule, in ONE place: wide, model-divisible
+    last dims shard over "model"; everything else replicates."""
+    if model_size > 1 and _is_tp_shardable(x, model_size, min_dim):
+        if x.ndim == 1:
+            return P(MODEL_AXIS)
+        return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
+    return P()
 
 
 def make_params_specs(params: Any, model_size: int, min_dim: int = 4200) -> Any:
@@ -70,40 +80,14 @@ def make_params_specs(params: Any, model_size: int, min_dim: int = 4200) -> Any:
     With model_size == 1 everything replicates.
     """
 
-    def spec(x):
-        if model_size > 1 and _is_tp_shardable("", x, model_size, min_dim):
-            if x.ndim == 1:
-                return P(MODEL_AXIS)
-            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
-        return P()
-
-    return jax.tree.map(spec, params)
-
-
-def make_batch_specs(ndim_map: dict) -> dict:
-    """PartitionSpecs for batch arrays: leading axis over "data"."""
-    return {
-        k: P(DATA_AXIS, *([None] * (nd - 1))) for k, nd in ndim_map.items()
-    }
+    return jax.tree.map(lambda x: _tp_spec(x, model_size, min_dim), params)
 
 
 def shard_state_specs(state: Any, model_size: int, min_dim: int = 4200) -> Any:
     """Specs for a DistillState/StudentState: params + matching optimizer
-    slots sharded, counters replicated."""
-
-    def spec(x):
-        if (
-            model_size > 1
-            and hasattr(x, "ndim")
-            and x.ndim >= 1
-            and _is_tp_shardable("", x, model_size, min_dim)
-        ):
-            if x.ndim == 1:
-                return P(MODEL_AXIS)
-            return P(*([None] * (x.ndim - 1)), MODEL_AXIS)
-        return P()
-
-    return jax.tree.map(spec, state)
+    slots sharded, counters replicated — the same column rule as
+    make_params_specs (optimizer moments mirror their parameters)."""
+    return jax.tree.map(lambda x: _tp_spec(x, model_size, min_dim), state)
 
 
 def to_named(tree_of_specs: Any, mesh: Mesh) -> Any:
