@@ -27,7 +27,19 @@ class MeanAveragePrecisionCalculator:
 
     def accumulate(self, predictions, actuals, num_positives: Optional[list] = None):
         """predictions/actuals: per-class lists of score/label lists."""
-        if not num_positives:
+        # the reference's explicit validation (mean_average_precision_
+        # calculator.py:70-76): a bare truthiness test would raise
+        # "truth value of an array is ambiguous" for numpy input and an
+        # IndexError (not a clear message) for a short list
+        if num_positives is not None:
+            if not isinstance(num_positives, list):
+                num_positives = list(num_positives)
+            if len(num_positives) != self._num_class:
+                raise ValueError(
+                    "num_positives must have the same length as the "
+                    f"number of classes ({self._num_class}); got "
+                    f"{len(num_positives)}")
+        else:
             num_positives = [None] * self._num_class
         for i in range(len(predictions)):
             self._ap_calculators[i].accumulate(

@@ -326,6 +326,11 @@ class DbofModel:
               is_training: bool = True, rng: Optional[jax.Array] = None,
               bn_axis_name=None,
               **classifier_kwargs) -> Dict[str, Any]:
+        # the classifier head gets its own dropout key (the reference
+        # plumbs `dropout` into every head, frame_level_models.py:192-196
+        # via **unused_params); fold_in keeps the SAMPLING stream on the
+        # original key so recorded sampling behavior is unchanged
+        cls_rng = None if rng is None else jax.random.fold_in(rng, 1)
         if rng is not None:
             sampler = sample_random_frames if sample_random else sample_random_sequence
             model_input = sampler(model_input, num_frames, iterations, rng)
@@ -358,7 +363,8 @@ class DbofModel:
 
         cls = get_model(classifier)
         result = cls.apply(
-            params["classifier"], act, vocab_size=vocab_size, **classifier_kwargs
+            params["classifier"], act, vocab_size=vocab_size, rng=cls_rng,
+            **classifier_kwargs
         )
         result["updated_params"] = updated
         return result

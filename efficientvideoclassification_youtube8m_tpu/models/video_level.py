@@ -362,15 +362,14 @@ class LinearRegressionWeightedMeanEnsembleDifferenceLoss:
     @staticmethod
     def apply(params, model_input, vocab_size: int, old_predictions=None,
               labels=None, l2_penalty: float = 1e-8, **_) -> Dict[str, Any]:
-        old_predictions = old_predictions[: model_input.shape[0]]
-        logits = dense(params["weights"], model_input)
-        out = _softmax_weighted_blend(logits, old_predictions)
-        alpha = jax.nn.sigmoid(params["alpha_logit"])
-        mean_pred = jnp.mean(old_predictions, axis=1)
-        out = out * (1 - alpha) + mean_pred * alpha
-
-        reg = l2_penalty * l2_loss(params["weights"]["w"])
-        result = {"predictions": out, "regularization_loss": reg}
+        # the blend is EXACTLY the WeightedMean head's; only the margin
+        # loss below is added (video_level_models.py:283-317)
+        result = LinearRegressionWeightedMeanEnsemble.apply(
+            params, model_input, vocab_size,
+            old_predictions=old_predictions, l2_penalty=l2_penalty)
+        out = result["predictions"]
+        mean_pred = jnp.mean(
+            old_predictions[: model_input.shape[0]], axis=1)
         # the in-graph margin loss needs labels; inference
         # (cli/inference_ensemble.run_head) calls without them and only
         # reads the predictions — the reference always feeds labels

@@ -71,10 +71,23 @@ def host_subsample(features_u8, every_n: int):
 def student_num_frames(num_frames: jax.Array, every_n: int, max_frames: int = 300) -> jax.Array:
     """`num_frames/300 * (300//every_n)` cast to int — the reference's
     approximation of how many frames survive subsampling
-    (`/root/reference/code_student_uniform/train.py:262-264`)."""
+    (`/root/reference/code_student_uniform/train.py:262-264`).
+
+    The reference's `tf.divide(int, int)` promotes to FLOAT64 before the
+    truncating cast; recomputing in f32 on device differs by ±1 for many
+    (num_frames, every_n) pairs (every_n=2 n=98: f32 truncates to 48,
+    the reference to 49 — shifting the student's sequence-length masks).
+    A host-built float64 table indexed by the capped frame count
+    reproduces the reference bit-exactly inside jit without needing f64
+    on the TPU; every_n/max_frames are static, so the 301-entry table is
+    a compile-time constant and the lookup is one tiny gather."""
+    import numpy as np
+
     max_student = max_frames // every_n
-    return (num_frames.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-            / max_frames * max_student).astype(jnp.int32)
+    table = (np.arange(max_frames + 1, dtype=np.float64) / max_frames
+             * max_student).astype(np.int64).astype(np.int32)
+    idx = jnp.clip(num_frames.astype(jnp.int32), 0, max_frames)
+    return jnp.asarray(table)[idx]
 
 
 def resize_axis(x: jax.Array, axis: int, new_size: int, fill_value: Any = 0) -> jax.Array:

@@ -248,3 +248,26 @@ def test_dbof_eval_ignores_padding_frames():
                           iterations=4, is_training=False)
     np.testing.assert_array_equal(np.asarray(out_long["predictions"]),
                                   np.asarray(out_again["predictions"]))
+
+
+def test_student_num_frames_matches_reference_float64_cast():
+    """The reference computes num_frames/300*max_student in FLOAT64
+    (tf.divide promotes int32) before the truncating cast; an on-device
+    f32 recomputation differs by +-1 at e.g. every_n=2 n=98 (48 vs 49),
+    shifting the student's sequence-length masks. The host-built f64
+    table must match the reference for EVERY count and stride."""
+    import jax.numpy as jnp
+
+    from efficientvideoclassification_youtube8m_tpu.ops.preprocess import (
+        student_num_frames,
+    )
+
+    n = np.arange(0, 301, dtype=np.int32)
+    for every_n in (1, 2, 3, 4, 6, 10):
+        ms = 300 // every_n
+        want = (n.astype(np.float64) / 300 * ms).astype(np.int64)
+        got = np.asarray(student_num_frames(jnp.asarray(n), every_n, 300))
+        np.testing.assert_array_equal(got, want.astype(np.int32),
+                                      err_msg=f"every_n={every_n}")
+    # the known f32-divergent case stays pinned
+    assert int(student_num_frames(jnp.asarray([98]), 2, 300)[0]) == 49
