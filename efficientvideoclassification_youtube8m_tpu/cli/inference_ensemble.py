@@ -39,7 +39,10 @@ logger = logging.getLogger("inference_ensemble")
 def load_head(path: str):
     with open(path, "rb") as f:
         raw = flax.serialization.msgpack_restore(f.read())
-    return raw["model"], raw["params"], int(raw["input_size"])
+    # num_models absent in pre-r5 head checkpoints -> no K validation
+    k = raw.get("num_models")
+    return (raw["model"], raw["params"], int(raw["input_size"]),
+            None if k is None else int(k))
 
 
 def inference(args):
@@ -47,7 +50,8 @@ def inference(args):
     import jax.numpy as jnp
 
     cfg = flags_lib.config_from_args(args)
-    head_name, head_params, head_input = load_head(args.head_checkpoint)
+    head_name, head_params, head_input, head_k = load_head(
+        args.head_checkpoint)
     head = get_model(head_name)
     logger.info("ensemble head: %s (input %d)", head_name, head_input)
     if head_input != cfg.total_feature_size:
@@ -98,6 +102,11 @@ def inference(args):
     # the head's "vocab_size" is K for the weight-over-models heads
     store = PredictionStore(args.preds_pattern, cfg.num_classes)
     params_vocab = store.num_models
+    if head_k is not None and head_k != store.num_models:
+        raise ValueError(
+            f"head checkpoint {args.head_checkpoint!r} was trained over "
+            f"{head_k} prediction files, but --preds_pattern matches "
+            f"{store.num_models}")
 
     def rows():
         num_examples_processed = 0

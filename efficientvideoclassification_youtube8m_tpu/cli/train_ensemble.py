@@ -30,12 +30,29 @@ from efficientvideoclassification_youtube8m_tpu.train.optimizer import (
 
 logger = logging.getLogger("train_ensemble")
 
+# heads whose init/apply contract is (input_size, K-models) +
+# old_predictions — the five reference ensemble heads
+# (video_level_models.py:227-373). Plain video-level heads size their
+# OUTPUT by vocab_size; passing num_models there builds a K-class head
+# against num_classes labels, so reject them with a clear message.
+ENSEMBLE_HEADS = (
+    "LinearRegressionEnsemble",
+    "SingleHiddenLayerEnsemble",
+    "LinearRegressionWeightedMeanEnsemble",
+    "LinearRegressionWeightedMeanEnsembleDifferenceLoss",
+    "IndependentClassEnsemble",
+)
+
 
 def train_ensemble(args):
     import jax
     import jax.numpy as jnp
 
     cfg = flags_lib.config_from_args(args)
+    if args.model not in ENSEMBLE_HEADS:
+        raise ValueError(
+            f"--model {args.model} is not an ensemble head; this binary "
+            f"trains weight-over-models heads only: {ENSEMBLE_HEADS}")
     store = PredictionStore(args.preds_pattern, cfg.num_classes)
     num_models = store.num_models
     head = get_model(args.model)
@@ -72,7 +89,8 @@ def train_ensemble(args):
         new_params, new_opt = optimizer.update(grads, opt_state, params, lr)
         return new_params, new_opt, loss, preds
 
-    gstep = jnp.zeros([], jnp.int32)
+    gstep = 0  # host counter: the schedule takes it as a traced scalar,
+    # and keeping it on the host avoids a device fetch per step
     for epoch in range(cfg.num_epochs or 1):
         loader = AggregatedDataLoader(
             cfg.train_data_pattern,
@@ -89,13 +107,17 @@ def train_ensemble(args):
         for batch in loader:
             old = store.assemble(batch.video_ids)
             head_params, opt_state, loss, _ = step(
-                head_params, opt_state, gstep,
+                head_params, opt_state, jnp.asarray(gstep, jnp.int32),
                 jnp.asarray(batch.features), jnp.asarray(old),
                 jnp.asarray(batch.labels),
             )
-            gstep = gstep + 1
-            logger.info("epoch %d step %d loss %.4f", epoch, int(gstep),
-                        float(loss))
+            gstep += 1
+            # float(loss) is a device sync; at a log cadence the host
+            # batch assembly (PredictionStore.assemble) overlaps the
+            # dispatched steps instead of serializing with every one
+            if gstep % args.log_every == 0:
+                logger.info("epoch %d step %d loss %.4f", epoch, gstep,
+                            float(loss))
 
     os.makedirs(os.path.dirname(args.head_checkpoint) or ".", exist_ok=True)
     with open(args.head_checkpoint, "wb") as f:
@@ -103,6 +125,9 @@ def train_ensemble(args):
             "model": args.model,
             "params": jax.device_get(head_params),
             "input_size": cfg.total_feature_size,
+            # lets inference_ensemble reject a prediction-CSV count
+            # mismatch with a clear message instead of an XLA shape error
+            "num_models": num_models,
         }))
     logger.info("saved ensemble head to %s", args.head_checkpoint)
 
@@ -112,9 +137,13 @@ def main(argv=None):
     parser = flags_lib.base_parser("Train an ensemble head over K CSVs")
     parser.add_argument("--preds_pattern", required=True)
     parser.add_argument("--head_checkpoint", required=True)
+    parser.add_argument("--log_every", type=int, default=10,
+                        help="log (and device-sync) the loss every N steps")
+    # replace base_parser's frame-level default only — an EXPLICIT
+    # --model is validated (rejected if not an ensemble head), never
+    # silently rewritten
+    parser.set_defaults(model="LinearRegressionEnsemble")
     args = parser.parse_args(argv)
-    if args.model == "HierarchicalLstmModel":
-        args.model = "LinearRegressionEnsemble"
     flags_lib.dump_flags(args, logger)
     train_ensemble(args)
 

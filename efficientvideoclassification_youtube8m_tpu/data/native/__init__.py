@@ -174,11 +174,18 @@ def group_by_class(classes: np.ndarray, preds: np.ndarray,
     counts[num_class])."""
     lib = _load()
     n = classes.shape[0]
+    classes = np.ascontiguousarray(classes, np.int64)
+    if n and (classes.min() < 0 or classes.max() >= num_class):
+        # the C counting sort indexes counts[classes[i]] unguarded — an
+        # out-of-range id would corrupt the heap, not raise
+        raise ValueError(
+            f"class ids must be in [0, {num_class}); got "
+            f"[{classes.min()}, {classes.max()}]")
     counts = np.empty(num_class, np.int64)
     out_p = np.empty(n, np.float64)
     out_a = np.empty(n, np.float64)
     lib.group_by_class_sort(
-        np.ascontiguousarray(classes, np.int64),
+        classes,
         np.ascontiguousarray(preds, np.float64),
         np.ascontiguousarray(acts, np.float64),
         n, num_class, counts, out_p, out_a)

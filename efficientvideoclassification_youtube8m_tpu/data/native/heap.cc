@@ -10,8 +10,10 @@
 // one C call per batch instead of one Python heappush per entry.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -349,6 +351,10 @@ void ap_sweep_segments(const double* preds, const double* acts,
       for (int64_t i = 0; i < n; ++i) {
         double d = p[perm[i]];
         if (d == 0.0) d = 0.0;  // -0.0 -> +0.0: ties stay ties
+        // NaN ranks LAST like the numpy fallback (argsort sorts NaN
+        // keys to the end); the raw bit pattern would rank a positive
+        // NaN FIRST, and a NaN comparator breaks strict weak ordering
+        if (std::isnan(d)) d = -std::numeric_limits<double>::infinity();
         uint64_t u;
         std::memcpy(&u, &d, 8);
         u = (u >> 63) ? ~u : (u | 0x8000000000000000ULL);
@@ -366,7 +372,13 @@ void ap_sweep_segments(const double* preds, const double* acts,
       sp.resize(n);
       sa.resize(n);
       for (int64_t i = 0; i < n; ++i) {
-        sp[i] = p[perm[i]];
+        double d = p[perm[i]];
+        // NaN -> -inf: 'sp[x] > sp[y]' with NaN violates strict weak
+        // ordering (UB for std::stable_sort); -inf ranks last, stable
+        // order among them, matching the radix path and the numpy
+        // fallback
+        sp[i] = std::isnan(d)
+                    ? -std::numeric_limits<double>::infinity() : d;
         sa[i] = a[perm[i]];
       }
       order.resize(n);

@@ -114,13 +114,23 @@ FeatureValue = Union[List[bytes], List[float], List[int]]
 
 
 def decode_feature(buf) -> Tuple[str, FeatureValue]:
-    """Returns (kind, values) with kind in {bytes, float, int64}."""
+    """Returns (kind, values) with kind in {bytes, float, int64}.
+
+    Proto MERGE semantics, like a real protobuf parser: repeated
+    occurrences of the same list field on one Feature concatenate (a
+    legal wire encoding some streaming writers produce — returning on
+    the first occurrence would silently truncate the values), and for
+    the `kind` oneof the LAST field present wins."""
+    kind: str = "bytes"
+    values: FeatureValue = []
+    seen = 0
     for field_num, wire_type, val in iter_fields(bytes(buf)):
         if field_num == 1:  # BytesList
-            return "bytes", [
+            decoded = [
                 bytes(v) for fn, _, v in iter_fields(bytes(val)) if fn == 1
             ]
-        if field_num == 2:  # FloatList (packed or not)
+            new_kind = "bytes"
+        elif field_num == 2:  # FloatList (packed or not)
             floats: List[float] = []
             for fn, wt, v in iter_fields(bytes(val)):
                 if fn != 1:
@@ -130,8 +140,8 @@ def decode_feature(buf) -> Tuple[str, FeatureValue]:
                     floats.extend(struct.unpack(f"<{len(raw)//4}f", raw))
                 elif wt == _WIRE_32BIT:
                     floats.append(struct.unpack("<f", bytes(v))[0])
-            return "float", floats
-        if field_num == 3:  # Int64List (packed or not)
+            decoded, new_kind = floats, "float"
+        elif field_num == 3:  # Int64List (packed or not)
             ints: List[int] = []
             for fn, wt, v in iter_fields(bytes(val)):
                 if fn != 1:
@@ -144,8 +154,15 @@ def decode_feature(buf) -> Tuple[str, FeatureValue]:
                         ints.append(_to_signed64(x))
                 elif wt == _WIRE_VARINT:
                     ints.append(_to_signed64(v))
-            return "int64", ints
-    return "bytes", []  # empty Feature
+            decoded, new_kind = ints, "int64"
+        else:
+            continue
+        if seen and new_kind == kind:
+            values.extend(decoded)  # same oneof member split into chunks
+        else:
+            kind, values = new_kind, decoded  # oneof: last one wins
+        seen += 1
+    return kind, values
 
 
 def _to_signed64(x: int) -> int:

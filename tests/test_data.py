@@ -527,3 +527,35 @@ def test_native_perm_validator_leaves_global_rng_alone():
     assert ap._native_perm_ok(native)
     got = [random.random() for _ in range(4)]
     assert got == want
+
+
+def test_decode_feature_merge_semantics():
+    """Proto merge semantics like a real protobuf parser: repeated
+    occurrences of the same list field concatenate (legal chunked wire
+    encoding), and the kind oneof takes the LAST member present."""
+    import struct
+
+    from efficientvideoclassification_youtube8m_tpu.data.proto import (
+        decode_feature,
+        write_varint,
+    )
+
+    def ld(num, payload):
+        return write_varint((num << 3) | 2) + write_varint(len(payload)) + payload
+
+    def float_list(vals):
+        packed = struct.pack(f"<{len(vals)}f", *vals)
+        return ld(1, packed)
+
+    # FloatList split into two field-2 occurrences -> values concatenate
+    chunked = ld(2, float_list([1.0, 2.0])) + ld(2, float_list([3.0]))
+    kind, vals = decode_feature(chunked)
+    assert kind == "float" and vals == [1.0, 2.0, 3.0]
+
+    # oneof: bytes_list then float_list -> last wins
+    both = ld(1, ld(1, b"abc")) + ld(2, float_list([7.0]))
+    kind, vals = decode_feature(both)
+    assert kind == "float" and vals == [7.0]
+    # ...and in the opposite order the bytes win
+    kind, vals = decode_feature(ld(2, float_list([7.0])) + ld(1, ld(1, b"abc")))
+    assert kind == "bytes" and vals == [b"abc"]
