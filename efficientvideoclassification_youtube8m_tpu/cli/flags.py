@@ -121,9 +121,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--async_checkpoint", type=_bool, default=True,
                    help="overlap periodic checkpoint writes with training "
                    "(on-device snapshot + background fetch/write; the "
-                   "final save is always joined before exit). Applies to "
-                   "single-process saves (either format); multi-host "
-                   "saves are collectives and stay synchronous")
+                   "final save is always joined before exit). Multi-host: "
+                   "msgpack writes async from the master; orbax writes "
+                   "per-process shards async with its commit barrier on "
+                   "the JAX coordination service, falling back to a "
+                   "synchronous save (logged once) when that routing is "
+                   "unavailable")
     p.add_argument("--use_native_io", type=_bool, default=True)
     p.add_argument("--deterministic_input", type=_bool, default=False,
                    help="make the multi-reader input pipeline yield the "

@@ -316,7 +316,10 @@ class Predictor:
             ring.append(
                 (self._fwd(self.params, jnp.asarray(chunk), jnp.asarray(nf)),
                  n))
-            if len(ring) >= depth:
+            # pop only when MORE than `depth` are in flight: `>=` kept
+            # depth-1 launches outstanding (depth=1 degenerated to a
+            # fully synchronous loop) — same convention as the CLI rings
+            if len(ring) > depth:
                 done = ring.popleft()
                 out.append(np.asarray(done[0])[: done[1]])
         while ring:

@@ -77,6 +77,25 @@ def test_predict_pads_odd_batches(dirs):
     np.testing.assert_allclose(probs[3:4], probs_single, rtol=1e-5, atol=1e-6)
 
 
+def test_predict_ring_depths_keep_chunk_order(dirs):
+    """Multi-chunk requests drain through a lag-N ring; FIFO order (and
+    the padded final chunk's truncation) must hold at every depth,
+    including depth=1 (one launch in flight) and depth > #chunks
+    (everything drains in the tail loop)."""
+    _, finetune_dir, _, sstate = dirs
+    feats, nf = _batch(10, seed=4)
+    expected = None
+    for depth in (1, 2, 8):
+        p = Predictor.from_checkpoint(finetune_dir, CFG, serve_batch=4)
+        p.fetch_depth = depth
+        probs = p.predict(feats, nf)
+        assert probs.shape == (10, CFG.num_classes)
+        if expected is None:
+            expected = probs
+        else:
+            np.testing.assert_array_equal(probs, expected)
+
+
 def test_teacher_tower_from_distill_checkpoint(dirs):
     distill_dir, finetune_dir, dstate, _ = dirs
     p = Predictor.from_checkpoint(distill_dir, CFG, tower="teacher",
