@@ -65,6 +65,17 @@ def parse_frame_record(
     for name, size in zip(feature_names, feature_sizes):
         frames = feature_lists.get(name, [])
         # each frame: a Feature with one bytes value of length `size`
+        # (first value only, like the native parser). Validate EVERY
+        # frame's payload length — a wrong-length frame whose total
+        # still divides by `size` would otherwise silently shift all
+        # later frames' columns in the reshape below, while the native
+        # parser (yt8m_io.cc "frame feature size mismatch") raises.
+        for f in frames:
+            if not f[1] or len(f[1][0]) != size:
+                raise ValueError(
+                    f"frame feature size mismatch: {name!r} frame has "
+                    f"{len(f[1][0]) if f[1] else 0} bytes, expected {size}"
+                )
         raw = b"".join(f[1][0] for f in frames)
         mat = np.frombuffer(raw, dtype=np.uint8).reshape(-1, size)
         if num_frames == -1:
@@ -116,7 +127,9 @@ def parse_aggregated_record(
 ) -> AggregatedVideo:
     features_map = proto.decode_example(record)
     _, id_vals = features_map.get("id", ("bytes", [b""]))
-    video_id = id_vals[0].decode("utf-8") if id_vals else ""
+    # errors="replace" like the frame path: a corrupt id byte must not
+    # kill the epoch
+    video_id = id_vals[0].decode("utf-8", "replace") if id_vals else ""
     _, label_vals = features_map.get("labels", ("int64", []))
     parts = []
     for name, size in zip(feature_names, feature_sizes):

@@ -262,3 +262,34 @@ def test_native_label_count_bounded(tmp_path):
         w.write(rec)
     videos = _drain_native(p2)
     assert len(videos) == 1 and videos[0].labels == [0, 1, 2]
+
+
+def test_both_parsers_reject_missized_frame_payload(tmp_path):
+    """A frame byte-string of the wrong length whose TOTAL still divides
+    by the feature size must raise on BOTH parser backends — the Python
+    parser's reshape(-1, size) would otherwise silently shift every
+    later frame's columns (4 x 8-byte 'rgb' frames reshape to 2 x 16
+    garbage rows) while the native parser raised, i.e. different ground
+    truth by compiler availability."""
+    from efficientvideoclassification_youtube8m_tpu.data import proto
+    from efficientvideoclassification_youtube8m_tpu.data.tfrecord import (
+        TFRecordWriter,
+    )
+    from efficientvideoclassification_youtube8m_tpu.data.yt8m import (
+        parse_frame_record,
+    )
+
+    context = {"id": ("bytes", [b"bad0"]), "labels": ("int64", [1])}
+    feature_lists = {
+        # rgb frames carry 8 bytes each instead of 16 (total 32 = 2*16)
+        "rgb": [("bytes", [bytes(8)]) for _ in range(4)],
+        "audio": [("bytes", [bytes(4)]) for _ in range(2)],
+    }
+    rec = proto.encode_sequence_example(context, feature_lists)
+    with pytest.raises(ValueError, match="size mismatch"):
+        parse_frame_record(rec, ("rgb", "audio"), (16, 4), 30)
+    path = str(tmp_path / "missized.tfrecord")
+    with TFRecordWriter(path) as w:
+        w.write(rec)
+    with pytest.raises(IOError, match="size mismatch"):
+        list(native.read_frame_file(path, ("rgb", "audio"), (16, 4), 30))
